@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from knowledgeir_spark.session import get_spark
+
+    s = get_spark(cpus=4, app_name="kir-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def webpages_pdf():
+    from knowledgeir_spark.fixtures.webpages import gen_webpages
+
+    return gen_webpages(n_docs=300)
+
+
+@pytest.fixture(scope="session")
+def queries_pdf():
+    from knowledgeir_spark.fixtures.webpages import gen_queries
+
+    return gen_queries(n_queries=25)
