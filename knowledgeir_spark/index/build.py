@@ -1,0 +1,207 @@
+"""Distributed inverted-index build (north_rule core).
+
+Pipeline (each stage an idempotent lineage-tracked commit, plans/lineage.py):
+
+  docs(doc_id, text)
+    --[map-only: Arrow tokenize+count, functions/text.doc_terms]-->
+  doc_terms(doc_id, term, tf, doc_len)                       [stage 1]
+    --[salt = doc_id // salt_range; bucket = md5(term) % n_buckets;
+       repartition(term, salt) + sortWithinPartitions(term, salt, doc_id);
+       mapInPandas block encoder]-->
+  postings(bucket=*/...)                                     [stage 2]
+  term_stats(term, df, cf)                                   [stage 3]
+  field_stats.json {n_docs, total_len, avg_doc_len}          [stage 4]
+
+Skew strategy: the salt is a CONTIGUOUS doc_id range bucket, not a random
+hash — so (a) a Zipf head term (df ~ n_docs) is split across ~n_docs/salt_range
+groups, bounding every shuffle group to salt_range postings; (b) each
+(term, salt) group covers a disjoint sorted doc range, so partial posting
+blocks need NO re-merge: global posting order is (salt asc, block asc), and
+query-time just sorts blocks by first_doc_id.  Tail terms (df << salt_range)
+usually live in few salts, costing only a handful of extra block rows.
+Catalyst/AQE does not salt aggregations by itself (SURVEY.md §4) — this is
+the engine's custom physical strategy.
+
+The bucket partition column gives query-time partition pruning: a query
+touches <= |q| buckets out of n_buckets.
+
+Doc ids: callers with natural int64 ids pass them through; url-keyed input
+uses operators/ids.assign_doc_ids (deterministic dense ids).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_terms
+from ..plans.lineage import StageManager, StageResult
+from .codec import BLOCK_SIZE, encode_block
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    block_size: int = BLOCK_SIZE
+    salt_range: int = 1 << 20      # docs per salt bucket (contiguous ranges)
+    n_buckets: int = 32            # term-hash partition dirs (query pruning)
+    build_partitions: int | None = None  # shuffle width; None -> session default
+
+    def fingerprint_dict(self) -> dict:
+        return asdict(self)
+
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, salt long, block_id int, n_docs int, "
+    "first_doc_id long, max_doc_id long, max_tf int, min_doc_len int, "
+    "doc_id_deltas binary, tfs binary, doc_lens binary"
+)
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Portable term -> bucket hash (computable without Spark at query time)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def term_bucket_expr(term: Column, n_buckets: int) -> Column:
+    """JVM-side equivalent of term_bucket_py (md5 hex prefix, base-16 parse)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term.cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _make_block_builder(block_size: int):
+    """mapInPandas fn: partition rows sorted by (term, salt, doc_id) ->
+    posting-block rows.  Streams Arrow batches with a carry buffer so a
+    (term, salt) group spanning batch boundaries is encoded exactly once;
+    memory is bounded by max group size (<= salt_range postings) + one batch.
+    """
+
+    def encode_groups(pdf: pd.DataFrame) -> list[dict]:
+        rows = []
+        for (term, salt, bucket), g in pdf.groupby(
+            ["term", "salt", "bucket"], sort=False
+        ):
+            ids = g["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            tfs = g["tf"].to_numpy(np.int64).astype(np.uint64)
+            dls = g["doc_len"].to_numpy(np.int64).astype(np.uint64)
+            for bi, start in enumerate(range(0, len(ids), block_size)):
+                blk = encode_block(
+                    ids[start : start + block_size],
+                    tfs[start : start + block_size],
+                    dls[start : start + block_size],
+                )
+                blk.update(term=term, salt=int(salt), bucket=int(bucket), block_id=bi)
+                rows.append(blk)
+        return rows
+
+    cols = [
+        "bucket", "term", "salt", "block_id", "n_docs", "first_doc_id",
+        "max_doc_id", "max_tf", "min_doc_len", "doc_id_deltas", "tfs", "doc_lens",
+    ]
+
+    def builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iat[-1]
+            last_salt = pdf["salt"].iat[-1]
+            suffix = (pdf["term"].values == last_term) & (
+                pdf["salt"].values == last_salt
+            )
+            first_idx = int(np.flatnonzero(suffix)[0])
+            carry = pdf.iloc[first_idx:]
+            head = pdf.iloc[:first_idx]
+            if len(head):
+                rows = encode_groups(head)
+                if rows:
+                    yield pd.DataFrame(rows)[cols]
+        if carry is not None and len(carry):
+            rows = encode_groups(carry)
+            if rows:
+                yield pd.DataFrame(rows)[cols]
+
+    return builder
+
+
+def build_index(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    index_dir: str,
+    config: IndexConfig = IndexConfig(),
+    input_token: str = "",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, StageResult]:
+    """Build (or resume) the full index at index_dir.  Returns stage results
+    (each .skipped tells whether the committed snapshot was reused)."""
+    mgr = StageManager(index_dir)
+    conf = {"input": input_token, **config.fingerprint_dict()}
+    results: dict[str, StageResult] = {}
+
+    # stage 1: long-form doc terms (map-only tokenize+TF)
+    def write_doc_terms(tmp: str):
+        dt = doc_terms(docs_df, text_col=text_col, id_col=id_col)
+        if id_col != "doc_id":
+            dt = dt.withColumnRenamed(id_col, "doc_id")
+        dt.write.parquet(tmp)
+
+    results["doc_terms"] = mgr.run("doc_terms", conf, write_doc_terms)
+    dt = spark.read.parquet(mgr.stage_path("doc_terms"))
+
+    # stage 2: salted block build
+    def write_postings(tmp: str):
+        parts = config.build_partitions or spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        salted = dt.select(
+            "doc_id", "term", "tf", "doc_len",
+            (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
+            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
+        )
+        (
+            salted.repartition(int(parts), "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
+            .write.partitionBy("bucket")
+            .parquet(tmp)
+        )
+
+    results["postings"] = mgr.run("postings", conf, write_postings)
+
+    # stage 3: term stats (df = distinct docs, cf = collection tf)
+    def write_term_stats(tmp: str):
+        (
+            dt.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .write.parquet(tmp)
+        )
+
+    results["term_stats"] = mgr.run("term_stats", conf, write_term_stats)
+
+    # stage 4: field-level scalars (computed over ALL docs incl. empty)
+    if not mgr.is_json_committed("field_stats", conf):
+        n_docs = docs_df.count()
+        row = dt.agg(F.sum("tf").alias("total_len")).collect()[0]
+        total_len = int(row["total_len"] or 0)
+        mgr.put_json(
+            "field_stats", conf,
+            {
+                "n_docs": n_docs,
+                "total_len": total_len,
+                "avg_doc_len": (total_len / n_docs) if n_docs else 0.0,
+                "n_buckets": config.n_buckets,
+                "block_size": config.block_size,
+                "salt_range": config.salt_range,
+            },
+        )
+    return results

@@ -1,0 +1,117 @@
+"""Varint (LEB128) posting-block codec — numpy-vectorized, no Python loops
+over postings.
+
+Posting block layout (FIXTURES.md §7): doc ids are sorted, delta-gapped
+(first id absolute, then gaps), each array varint-encoded into a `binary`
+column.  Blocks are fixed-size (BLOCK_SIZE docs) with block-max metadata
+(max_tf, min_doc_len, first/last doc_id) enabling block-max WAND-style
+pruning at query time.
+
+Encoding is unsigned LEB128: 7 payload bits per byte, high bit = continue.
+Vectorization: per-value byte lengths are computed from bit_length, output
+offsets by cumsum, and all bytes written via flat numpy fancy indexing —
+O(total_bytes) numpy work, no per-posting Python.
+
+v2 note: PForDelta would pack fixed-width bit groups with exceptions; varint
+was chosen for v1 because decode is branch-free vectorizable below and the
+bench shows codec time is <5% of build (shuffle dominates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VARINT_BYTES = 10  # 64-bit
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    # write byte k of every value that has >= k+1 bytes
+    max_len = int(nbytes.max())
+    for k in range(max_len):
+        mask = nbytes > k
+        idx = offsets[:-1][mask] + k
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > k
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varint_decode(data: bytes, count: int) -> np.ndarray:
+    """Decode `count` LEB128 values (vectorized)."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    if len(ends) < count:
+        raise ValueError(f"varint stream truncated: {len(ends)} < {count}")
+    ends = ends[:count]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(count, dtype=np.uint64)
+    lengths = ends - starts + 1
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        mask = lengths > k
+        byte = raw[starts[mask] + k].astype(np.uint64)
+        out[mask] |= (byte & np.uint64(0x7F)) << np.uint64(7 * k)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """[id0, id1-id0, id2-id1, ...] — ids must be sorted ascending unique."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    out = np.empty_like(ids)
+    out[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) -> dict:
+    """One posting block -> row dict (schema FIXTURES.md §7 + inline doc_lens).
+
+    doc_lens are stored inline so query-time scoring needs NO join against a
+    doc_stats table (norms travel with the postings, Lucene-style).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    return {
+        "n_docs": int(doc_ids.size),
+        "first_doc_id": int(doc_ids[0]),
+        "max_doc_id": int(doc_ids[-1]),
+        "max_tf": int(np.max(tfs)),
+        "min_doc_len": int(np.min(doc_lens)),
+        "doc_id_deltas": varint_encode(delta_encode(doc_ids)),
+        "tfs": varint_encode(np.asarray(tfs, dtype=np.uint64)),
+        "doc_lens": varint_encode(np.asarray(doc_lens, dtype=np.uint64)),
+    }
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """row with (n_docs, doc_id_deltas, tfs, doc_lens) -> (doc_ids, tfs, doc_lens)."""
+    n = int(row["n_docs"])
+    ids = delta_decode(varint_decode(bytes(row["doc_id_deltas"]), n))
+    tfs = varint_decode(bytes(row["tfs"]), n)
+    dls = varint_decode(bytes(row["doc_lens"]), n)
+    return ids, tfs, dls

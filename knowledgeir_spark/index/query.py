@@ -1,0 +1,221 @@
+"""Index query path: pruned BM25 top-k from the posting shards.
+
+Plan shape (SURVEY.md §3.2 "Spark shape"):
+
+  postings scan [bucket partition-pruned to <= |q| buckets,
+                 term predicate pushed to parquet row groups]
+    ⋈ broadcast(query terms)
+    → groupBy(qid, salt).applyInPandas(block-max pruned scorer)   [local top-k]
+    → window top-k merge                                          [global]
+
+Each (qid, salt) group holds the query's posting blocks for ONE contiguous
+doc_id range (the build's range salt), so groups are disjoint in docs: local
+top-k lists merge into the exact global top-k.  Executors therefore process
+doc ranges in parallel per query — the WAND analog of doc-partitioned
+sharding in Lucene/Indri.
+
+Pruning inside a group ("block-max sort + chunked rescore", exact):
+  1. decode blocks, accumulate per-doc UPPER BOUND from block-max metadata
+     (bound = contrib(max_tf, min_doc_len) per block — no scoring yet);
+  2. sort candidates by bound desc; exact-score in chunks, keep a running
+     top-k threshold θ; STOP when the next chunk's max bound quantized below
+     θ quantized (floor(x*1e9), the engine-wide ranking key).  Monotonicity
+     (exact <= bound) makes the early exit exact, including doc_id
+     tie-breaks, which is asserted against the unpruned path in tests.
+
+Scores are rank-identical to the full-scan DataFrame path and the oracle
+(same ordered summation + quantized ranking key).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import topk_per_query
+from .build import term_bucket_py
+from .codec import varint_decode, delta_decode
+from . import scoring_np as S
+
+_RANK_Q = 1e9
+_CHUNK = 1024
+
+
+def _decode_cols(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = int(row.n_docs)
+    ids = delta_decode(varint_decode(bytes(row.doc_id_deltas), n)).astype(np.int64)
+    tfs = varint_decode(bytes(row.tfs), n).astype(np.float64)
+    dls = varint_decode(bytes(row.doc_lens), n).astype(np.float64)
+    return ids, tfs, dls
+
+
+def _score_group(
+    pdf: pd.DataFrame,
+    q_terms: dict[str, list[dict]],
+    n: float,
+    avgdl: float,
+    model: str,
+    k: int,
+    prune: bool,
+) -> pd.DataFrame:
+    """One (qid, salt) group -> local top-k (qid, doc_id, score)."""
+    qid = pdf["qid"].iat[0]
+    terms = q_terms[qid]
+    # decode all blocks per term; gather candidate docs + bounds
+    tf_parts: dict[str, list] = {}
+    id_parts: dict[str, list] = {}
+    dl_parts: dict[str, list] = {}
+    bound_parts: list[np.ndarray] = []
+    cand_parts: list[np.ndarray] = []
+    df_by_term = {t["term"]: float(t["df"]) for t in terms}
+    for row in pdf.itertuples():
+        ids, tfs, dls = _decode_cols(row)
+        term = row.term
+        id_parts.setdefault(term, []).append(ids)
+        tf_parts.setdefault(term, []).append(tfs)
+        dl_parts.setdefault(term, []).append(dls)
+        cand_parts.append(ids)
+        if prune and model == "bm25":
+            b = S.bm25_term_bound(
+                float(row.max_tf), float(row.min_doc_len), df_by_term[term], n, avgdl
+            )
+            bound_parts.append(np.full(len(ids), b))
+    if not cand_parts:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    all_ids = np.unique(np.concatenate(cand_parts))
+    n_cand = len(all_ids)
+    dl = np.zeros(n_cand, dtype=np.float64)
+    tf_by_term: dict[str, np.ndarray] = {}
+    for term in id_parts:
+        ids = np.concatenate(id_parts[term])
+        tfs = np.concatenate(tf_parts[term])
+        dls = np.concatenate(dl_parts[term])
+        pos = np.searchsorted(all_ids, ids)
+        v = np.zeros(n_cand, dtype=np.float64)
+        v[pos] = tfs
+        tf_by_term[term] = v
+        dl[pos] = dls
+
+    if prune and model == "bm25" and n_cand > 4 * k:
+        # per-doc upper bound = sum over terms of that doc's block bound
+        ub = np.zeros(n_cand, dtype=np.float64)
+        for ids, bounds in zip(cand_parts, bound_parts):
+            ub[np.searchsorted(all_ids, ids)] += bounds
+        ub = np.log(np.maximum(ub, 1.0))  # same finalize as bm25 (monotone)
+        order = np.argsort(-ub, kind="stable")
+        theta_q = -np.inf
+        kept_ids: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        n_scored = 0
+        for start in range(0, n_cand, _CHUNK):
+            sel = order[start : start + _CHUNK]
+            if math.floor(ub[sel[0]] * _RANK_Q) < theta_q:
+                break  # no remaining doc can beat the current k-th (exact<=ub)
+            sub_tf = {t: v[sel] for t, v in tf_by_term.items()}
+            sc = S.score_terms(model, terms, sub_tf, dl[sel], n, avgdl)
+            kept_ids.append(all_ids[sel])
+            kept_scores.append(sc)
+            n_scored += len(sel)
+            flat_s = np.concatenate(kept_scores)
+            if len(flat_s) >= k:
+                qkeys = np.floor(flat_s * _RANK_Q)
+                theta_q = np.partition(qkeys, len(qkeys) - k)[len(qkeys) - k]
+        ids_out = np.concatenate(kept_ids)
+        scores_out = np.concatenate(kept_scores)
+    else:
+        ids_out = all_ids
+        scores_out = S.score_terms(model, terms, tf_by_term, dl, n, avgdl)
+
+    # local top-k with the engine ranking key (quantized desc, doc_id asc)
+    qkeys = np.floor(scores_out * _RANK_Q).astype(np.int64)
+    order = np.lexsort((ids_out, -qkeys))[: k]
+    return pd.DataFrame(
+        {"qid": qid, "doc_id": ids_out[order], "score": scores_out[order]}
+    )
+
+
+class IndexReader:
+    """Reads a committed index (build.build_index layout)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "field_stats.json")) as f:
+            self.field_stats = json.load(f)
+        self.n_buckets = int(self.field_stats["n_buckets"])
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
+        return (
+            self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+            .filter(F.col("bucket").isin(buckets))       # partition pruning
+            .filter(F.col("term").isin(list(terms)))     # row-group pushdown
+        )
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, float]:
+        rows = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+            .filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r["term"]: float(r["df"]) for r in rows}
+
+    def search(
+        self,
+        queries: list[tuple[str, str]] | DataFrame,
+        k: int = 20,
+        model: str = "bm25",
+        prune: bool = True,
+    ) -> DataFrame:
+        """queries: [(qid, query_text)] or DataFrame(qid string, query string).
+        Returns (qid, doc_id, score, rank) — TREC-shaped, rank-identical to
+        the full-scan path/oracle."""
+        from ..oracle.tokenizer import tokenize_query
+
+        if isinstance(queries, DataFrame):
+            queries = [(r["qid"], r["query"]) for r in queries.collect()]
+        # driver-side query-term table (queries are small by definition)
+        q_terms: dict[str, list[dict]] = {}
+        all_terms: set[str] = set()
+        for qid, qtext in queries:
+            seen: dict[str, dict] = {}
+            for pos, t in enumerate(tokenize_query(qtext)):
+                if t in seen:
+                    seen[t]["q_tf"] += 1
+                else:
+                    seen[t] = {"term": t, "term_idx": pos, "q_tf": 1}
+            q_terms[str(qid)] = list(seen.values())
+            all_terms.update(seen)
+        dfs = self.term_stats_for(sorted(all_terms))
+        for terms in q_terms.values():
+            for t in terms:
+                t["df"] = dfs.get(t["term"], 0.0)
+
+        n = float(self.field_stats["n_docs"])
+        avgdl = float(self.field_stats["avg_doc_len"])
+
+        qt_rows = [
+            (qid, t["term"]) for qid, terms in q_terms.items() for t in terms
+        ]
+        if not qt_rows:
+            return self.spark.createDataFrame(
+                [], "qid string, doc_id long, score double, rank int"
+            )
+        qt_df = self.spark.createDataFrame(qt_rows, "qid string, term string")
+        postings = self.postings_for_terms(sorted(all_terms))
+        joined = postings.join(F.broadcast(qt_df), "term")
+
+        def apply_fn(pdf):
+            return _score_group(pdf, q_terms, n, avgdl, model, k, prune)
+
+        local = joined.groupBy("qid", "salt").applyInPandas(
+            apply_fn, "qid string, doc_id long, score double"
+        )
+        return topk_per_query(local, k=k)
