@@ -46,6 +46,8 @@ def _zipf_probs(n: int, s: float = ZIPF_S) -> np.ndarray:
 
 
 def gen_webpages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
+    """Vectorized: one Zipf draw for the whole corpus, split per doc — keeps
+    generation O(total_tokens) numpy so 100k+ doc bench corpora are cheap."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab())
     probs = _zipf_probs(len(vocab))
@@ -53,16 +55,21 @@ def gen_webpages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
         rng.lognormal(mean=np.log(120), sigma=0.6, size=n_docs), 0, 2000
     ).astype(np.int64)
     # ~0.5% empty docs
-    empty = rng.random(n_docs) < 0.005
-    lengths[empty] = 0
+    lengths[rng.random(n_docs) < 0.005] = 0
+
+    all_toks = rng.choice(vocab, size=int(lengths.sum()), p=probs)
+    bounds = np.cumsum(lengths)[:-1]
+    doc_toks = np.split(all_toks, bounds)
+    title_toks = rng.choice(vocab, size=(n_docs, 3), p=probs)
+    junk_mask = rng.random(n_docs) < 0.1
+    lang_mask = rng.random(n_docs) > 0.05
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    junk = b"WARC-junk/1.0 \xff\xfe "
     for i in range(n_docs):
-        toks = rng.choice(vocab, size=lengths[i], p=probs)
-        text = " ".join(toks.tolist())
-        title = " ".join(rng.choice(vocab, size=3, p=probs).tolist())
-        junk = b"WARC-junk/1.0 \xff\xfe " if rng.random() < 0.1 else b""
-        html = junk + (
+        text = " ".join(doc_toks[i].tolist())
+        title = " ".join(title_toks[i].tolist())
+        html = (junk if junk_mask[i] else b"") + (
             "<html><head><title>{t}</title>"
             "<style>body {{ color: red }}</style></head>"
             "<body><nav>home about contact</nav>"
@@ -70,10 +77,10 @@ def gen_webpages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
             "<footer>copyright 2023 example</footer></body></html>"
         ).format(t=title, x=text).encode("utf-8")
         urls.append(f"https://host{i % 17}.example/p/{i}")
-        tss.append(_EPOCH + _dt.timedelta(seconds=int(i) * 60))
+        tss.append(_EPOCH + _dt.timedelta(seconds=i * 60))
         htmls.append(html)
         texts.append(text)
-        langs.append("en" if rng.random() > 0.05 else "xx")
+        langs.append("en" if lang_mask[i] else "xx")
     return pd.DataFrame(
         {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
     )

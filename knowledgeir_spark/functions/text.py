@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,7 +60,9 @@ def query_terms_expr(col: Column) -> Column:
 
 @F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
 def doc_tf_map(text: pd.Series) -> pd.Series:
-    """term -> tf per doc, exact oracle spec (Arrow-batched)."""
+    """term -> tf per doc, exact oracle spec (Arrow-batched).  Kept for
+    map-column consumers; the hot path is ``doc_terms`` below (long-form via
+    mapInPandas — MapType Arrow serde is ~5x slower than flat columns)."""
     token_re: re.Pattern = TOKEN_RE
     stop = STOPWORDS
 
@@ -77,19 +80,44 @@ def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     doc_len = total post-clean term count, the reference's
     ``doc_len = sum(h_doc_terms.values())`` (retrieval_model.py:131).
     Rows for empty docs are absent (doc_len==0 docs produce no terms).
+
+    Implementation: mapInPandas emitting flat Arrow columns; tokenization is
+    pandas .str vectorized C paths + one pandas groupby per batch — no
+    per-row Python and no MapType serde.
     """
-    tf_map = doc_tf_map(F.col(text_col))
-    return (
-        df.select(F.col(id_col), tf_map.alias("_tf"))
-        .select(
-            id_col,
-            F.aggregate(F.map_values("_tf"), F.lit(0), lambda a, x: a + x).alias(
-                "doc_len"
-            ),
-            F.explode("_tf").alias("term", "tf"),
-        )
-        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), F.col("doc_len").cast("long"))
-    )
+    stop = STOPWORDS
+    pattern = TOKEN_RE.pattern
+    out_schema = f"{id_col} long, term string, tf long, doc_len long"
+
+    def tokenize_batches(batches):
+        import re as _re
+
+        token_re = _re.compile(pattern)
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
+            lens = toks.map(len).to_numpy()
+            if lens.sum() == 0:
+                continue
+            flat = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), lens),
+                    "term": np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]),
+                }
+            )
+            flat = flat[~flat["term"].isin(stop)]
+            if not len(flat):
+                continue
+            grp = (
+                flat.groupby([id_col, "term"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            dl = grp.groupby(id_col, sort=False)["tf"].transform("sum")
+            grp["doc_len"] = dl
+            yield grp
+
+    return df.select(id_col, text_col).mapInPandas(tokenize_batches, out_schema)
 
 
 def doc_terms_builtin(

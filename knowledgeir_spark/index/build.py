@@ -172,6 +172,10 @@ def build_index(
             salted.repartition(int(parts), "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
+            # block rows are ~1/100 the size of the long-form postings, so a
+            # second (cheap) exchange by bucket keeps the file count at
+            # ~n_buckets instead of shuffle_partitions x n_buckets tiny files
+            .repartition(config.n_buckets, "bucket")
             .write.partitionBy("bucket")
             .parquet(tmp)
         )

@@ -144,27 +144,40 @@ def _score_group(
 class IndexReader:
     """Reads a committed index (build.build_index layout)."""
 
+    # term_stats tables up to this row count are collected once into a
+    # driver-side dict (a few MB); larger vocabularies fall back to a
+    # filtered scan per search.
+    _TERM_STATS_CACHE_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "field_stats.json")) as f:
             self.field_stats = json.load(f)
         self.n_buckets = int(self.field_stats["n_buckets"])
+        # build the scan DataFrames once (schema discovery is not free)
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._df_cache: dict[str, float] | None = None
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
         return (
-            self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+            self._postings
             .filter(F.col("bucket").isin(buckets))       # partition pruning
             .filter(F.col("term").isin(list(terms)))     # row-group pushdown
         )
 
     def term_stats_for(self, terms: list[str]) -> dict[str, float]:
-        rows = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
-            .filter(F.col("term").isin(list(terms)))
-            .collect()
-        )
+        if self._df_cache is None:
+            n = self._term_stats.count()
+            if n <= self._TERM_STATS_CACHE_MAX:
+                self._df_cache = {
+                    r["term"]: float(r["df"]) for r in self._term_stats.collect()
+                }
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
+        rows = self._term_stats.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: float(r["df"]) for r in rows}
 
     def search(
