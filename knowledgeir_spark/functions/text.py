@@ -74,19 +74,24 @@ def doc_tf_map(text: pd.Series) -> pd.Series:
     return text.map(one)
 
 
-def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              simple: bool = False) -> DataFrame:
     """(id, term, tf, doc_len) long-form — map-only (NO shuffle).
 
     doc_len = total post-clean term count, the reference's
     ``doc_len = sum(h_doc_terms.values())`` (retrieval_model.py:131).
     Rows for empty docs are absent (doc_len==0 docs produce no terms).
+    ``simple=True`` switches to the symmetric simple tokenizer (no stopwords,
+    [a-z0-9]+ — the SQL-parity spec).
 
     Implementation: mapInPandas emitting flat Arrow columns; tokenization is
     pandas .str vectorized C paths + one pandas groupby per batch — no
     per-row Python and no MapType serde.
     """
-    stop = STOPWORDS
-    pattern = TOKEN_RE.pattern
+    from ..oracle.tokenizer import SIMPLE_TOKEN_RE
+
+    stop = frozenset() if simple else STOPWORDS
+    pattern = (SIMPLE_TOKEN_RE if simple else TOKEN_RE).pattern
     out_schema = f"{id_col} long, term string, tf long, doc_len long"
 
     def tokenize_batches(batches):
@@ -104,7 +109,8 @@ def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                     "term": np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]),
                 }
             )
-            flat = flat[~flat["term"].isin(stop)]
+            if stop:
+                flat = flat[~flat["term"].isin(stop)]
             if not len(flat):
                 continue
             grp = (

@@ -51,6 +51,7 @@ class IndexConfig:
     salt_range: int = 1 << 20      # docs per salt bucket (contiguous ranges)
     n_buckets: int = 32            # term-hash partition dirs (query pruning)
     build_partitions: int | None = None  # shuffle width; None -> session default
+    tokenizer: str = "spec"        # "spec" (engine v1) | "simple" (SQL-parity)
 
     def fingerprint_dict(self) -> dict:
         return asdict(self)
@@ -150,7 +151,10 @@ def build_index(
 
     # stage 1: long-form doc terms (map-only tokenize+TF)
     def write_doc_terms(tmp: str):
-        dt = doc_terms(docs_df, text_col=text_col, id_col=id_col)
+        dt = doc_terms(
+            docs_df, text_col=text_col, id_col=id_col,
+            simple=(config.tokenizer == "simple"),
+        )
         if id_col != "doc_id":
             dt = dt.withColumnRenamed(id_col, "doc_id")
         dt.write.parquet(tmp)

@@ -1,0 +1,211 @@
+"""Similarity search over an embedding column (array<float>).
+
+Engine analog of the reference's kNN usage (SURVEY.md §2.6 W5 —
+scripts/get_embedding_neighbors.py used gensim most_similar; here it's a
+DataFrame program):
+
+- brute_force_topk: exact cosine top-k per query vector.  The dot product is
+  a JVM expression (zip_with + aggregate, sequential fold -> deterministic);
+  norms are precomputed once per side.  Query side broadcasts.
+- rp_lsh_topk: random-hyperplane LSH bucketing as the scale path — each
+  vector gets a sign-bit signature from D pseudo-random Rademacher planes
+  (plane p, dim d -> ±1 from a bit of md5(p:d), so signatures are portable
+  and deterministic, no stored plane matrix); candidates = same bucket in
+  >=1 of the multi-probe band tables, then exact cosine on candidates and
+  top-k.  Recall < 1 by construction (benchmarked, not asserted); exactness
+  tests use brute force.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .topk import RANK_QUANTUM
+
+
+def _norm_expr(vec) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dot_expr(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a, b) -> "F.Column":
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k of `vectors` for each row of `queries`
+    (self-matches by id are excluded when ids collide).
+    Returns (q_id, vec_id, cos, rank)."""
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
+    )
+    joined = vectors.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    scored = joined.select(
+        "q_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("cos") * RANK_QUANTUM).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def _plane_signs(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic Rademacher planes: sign from bit 0 of md5(f'{p}:{d}')."""
+    signs = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()
+            signs[p, d] = 1.0 if (h[0] & 1) else -1.0
+    return signs
+
+
+def rp_signature_expr(vec, planes: np.ndarray) -> "F.Column":
+    """Bit p = 1 iff dot(vec, plane_p) > 0; packed into a long."""
+    sig = None
+    for p in range(planes.shape[0]):
+        plane = planes[p]
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sig.cast("long")
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share >=1 signature band with the
+    query; exact cosine re-rank on candidates."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _plane_signs(n_planes, dim)
+    rows = n_planes // n_bands
+    mask = (1 << rows) - 1
+
+    def bands_of(sig_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sig_col, b * rows).bitwiseAND(F.lit(mask)).alias("v"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        rp_signature_expr(F.col(vec_col), planes).alias("sig"),
+    ).select("vec_id", "vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
+        "vec_id", "vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
+        rp_signature_expr(F.col(q_vec_col), planes).alias("sig"),
+    ).select("q_id", "q_vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
+        "q_id", "q_vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
+    )
+    cand = (
+        v.join(F.broadcast(q), ["band", "v"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "vec_id", "vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine_expr(F.col("vec"), F.col("q_vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("cos") * RANK_QUANTUM).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _plane_signs(n_planes, dim)
+    rows = n_planes // n_bands
+    mask = (1 << rows) - 1
+    sig = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        rp_signature_expr(F.col(vec_col), planes).alias("sig"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    ex = sig.select("vec_id", "vec", F.explode(bands).alias("bs")).select(
+        "vec_id", "vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("a.vec").alias("vec_a"),
+            F.col("b.vec_id").alias("id_b"), F.col("b.vec").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", cosine_expr(F.col("vec_a"), F.col("vec_b")).alias("cos")
+    ).filter(F.col("cos") >= threshold)

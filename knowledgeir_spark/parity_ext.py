@@ -1,0 +1,568 @@
+"""Extended parity suite: training-data ops + index path + eval under the
+DuckDB gate.
+
+Same contract as parity.py (column names/values must match exactly; floats
+quantized to ints via floor(x*10^p)).  SQL for the hash-heavy operators
+(minhash / simhash / RP-LSH) is generated programmatically from the same
+constants the engine uses, so both sides share one definition.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.langid import LANG_MARKERS, detect_language
+from .functions.quality import token_counts
+from .operators.dedup import minhash_lsh_dedup, simhash
+from .operators.eval import ndcg_err_at_k
+from .operators.rm3 import rm3_expansion
+from .operators.similarity import brute_force_topk
+from .operators.topk import RANK_QUANTUM, topk_per_query
+from .parity import (
+    ENTRY_QUERIES,
+    TOPK,
+    _SQL_TOK,
+    _doc_tf,
+    _docs,
+    _scored_matched,
+    _sql_queries_values,
+)
+from .functions.scoring import bm25_contrib, bm25_finalize, ordered_sum
+
+N_HASHES = 16
+N_BANDS = 4
+MINHASH_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+
+_E6 = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
+
+
+# --------------------------------------------------------------------------
+# Spark side
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_dedup(
+        _docs(spark, sf_dir), k=3, n_hashes=N_HASHES, n_bands=N_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    # quantize from the integer counts (floor(a*1e6/b)) so the division shape
+    # matches the SQL oracle bit-for-bit
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.floor(
+            F.col("n_inter") * 1e6 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).cast("long").alias("jaccard_e6"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, q, k=10)
+    return out.select("q_id", "vec_id", "rank", _E6(F.col("cos")).alias("cos_e6"))
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features quantized from INTEGER ingredients (floor(a*1e6/b))
+    so the division shape matches the SQL oracle exactly; the float-valued
+    engine op (functions/quality.quality_features) is unit-tested separately."""
+    dt = _doc_tf(spark, sf_dir)
+    words = dt.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.sum(F.length("term") * F.col("tf")).alias("sum_len"),
+        F.max("tf").alias("max_tf"),
+    )
+    t = F.col("text")
+    nz = F.greatest(F.length(t), F.lit(1))
+    return (
+        _docs(spark, sf_dir)
+        .join(words, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.floor(
+                F.coalesce(
+                    F.col("sum_len") * 1e6 / F.greatest("n_words", F.lit(1)), F.lit(0.0)
+                )
+            ).cast("long").alias("mean_word_len_e6"),
+            F.floor(
+                F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", "")) * 1e6 / nz
+            ).cast("long").alias("punct_ratio_e6"),
+            F.floor(
+                F.length(F.regexp_replace(t, "[^0-9]", "")) * 1e6 / nz
+            ).cast("long").alias("digit_ratio_e6"),
+            F.floor(
+                F.length(F.regexp_replace(t, "[^A-Z]", "")) * 1e6 / nz
+            ).cast("long").alias("upper_ratio_e6"),
+            F.floor(
+                F.coalesce(
+                    F.col("max_tf") * 1e6 / F.greatest("n_words", F.lit(1)), F.lit(0.0)
+                )
+            ).cast("long").alias("max_word_ratio_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    ).orderBy("doc_id")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detect_language(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _raw_bm25_ranking(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    matched, n, avgdl = _scored_matched(spark, sf_dir)
+    scored = matched.groupBy("qid", "doc_id").agg(
+        bm25_finalize(
+            ordered_sum(
+                F.col("term_idx"),
+                bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
+            )
+        ).alias("score")
+    )
+    return topk_per_query(scored, k=k)
+
+
+def q_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranking = _raw_bm25_ranking(spark, sf_dir, k=10)
+    exp = rm3_expansion(ranking, _doc_tf(spark, sf_dir), n_docs=10, n_terms=10)
+    return exp.select(
+        "qid", "term", "exp_rank", _E6(F.col("exp_score")).alias("exp_score_e6")
+    ).orderBy("qid", "exp_rank")
+
+
+def _synthetic_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+        .crossJoin(
+            spark.createDataFrame([(q,) for q, _ in ENTRY_QUERIES], "qid long")
+        )
+        .select(
+            "qid",
+            F.col("doc_id").alias("docno"),
+            ((F.col("doc_id") / 7 + F.col("qid")) % 5).cast("int").alias("label"),
+        )
+    )
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantized scores in -> identical run order in both engines
+    from .parity import q_bm25_topk
+
+    ranking = q_bm25_topk(spark, sf_dir).select(
+        "qid", F.col("doc_id").alias("docno"),
+        (F.col("score_e6") / 1e6).alias("score"),
+    )
+    per_q = ndcg_err_at_k(ranking, _synthetic_qrels(spark, sf_dir), k=TOPK)
+    return per_q.select(
+        "qid", _E6(F.col("ndcg")).alias("ndcg_e6"), _E6(F.col("err")).alias("err_e6")
+    ).orderBy("qid")
+
+
+def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: fold partition by key mod k (kfold_partition.py:40-45)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy((F.col("doc_id") % 5).cast("int").alias("fold"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("fold")
+    )
+
+
+_PARITY_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSTING-INDEX query path under the same SQL oracle as the
+    full-scan flagship: build once per sf_dir (simple tokenizer), search the
+    embedded query set, emit identical columns."""
+    import tempfile
+
+    from .index.build import IndexConfig, build_index
+    from .index.query import IndexReader
+
+    key = os.path.abspath(sf_dir)
+    if key not in _PARITY_INDEX_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), "kir_parity_index_" + key.replace("/", "_")
+        )
+        cfg = IndexConfig(
+            block_size=64, salt_range=128, n_buckets=8, tokenizer="simple"
+        )
+        build_index(
+            spark, _docs(spark, sf_dir).select("doc_id", "text"), idx_dir, cfg,
+            input_token=key,
+        )
+        _PARITY_INDEX_CACHE[key] = idx_dir
+    reader = IndexReader(spark, _PARITY_INDEX_CACHE[key])
+    queries = [(str(q), text) for q, text in ENTRY_QUERIES]
+    out = reader.search(queries, k=TOPK, model="bm25", prune=True)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        "doc_id", "rank", _E6(F.col("score")).alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# DuckDB side (programmatically generated where hash-heavy)
+
+_SQL_SHINGLES = """
+raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS ord
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE term <> ''
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tp a
+  JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def _minhash_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(N_HASHES)
+    )
+    rows = N_HASHES // N_BANDS
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(i.n_i * 1e6 / (na.n_sh + nb.n_sh - i.n_i)) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.n_i * 1.0 / (na.n_sh + nb.n_sh - i.n_i) >= {MINHASH_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_TOK},
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substring(md5(term), 1, 8))::BIGINT AS h
+  FROM tf
+),
+sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+_EMB_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5
+),
+qe AS (
+  SELECT q_id, unnest(q_vec)::DOUBLE AS x, generate_subscripts(q_vec, 1) AS i FROM q
+),
+ve AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT qe.q_id, ve.vec_id, sum(qe.x * ve.x) AS dot
+  FROM qe JOIN ve ON qe.i = ve.i GROUP BY qe.q_id, ve.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id),
+cos AS (
+  SELECT d.q_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  WHERE d.vec_id <> d.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY floor(cos * 1e9) DESC, vec_id ASC) AS rank,
+         CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+  FROM cos
+)
+SELECT q_id, vec_id, rank, cos_e6 FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+_QUALITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+wsx AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_words, sum(len(t.term))::BIGINT AS sum_len
+  FROM tokf t GROUP BY t.doc_id
+),
+mx AS (
+  SELECT doc_id, max(cnt)::BIGINT AS max_tf
+  FROM (SELECT doc_id, term, count(*) AS cnt FROM tokf GROUP BY doc_id, term)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(w.n_words, 0) AS n_words,
+       CAST(floor(coalesce(w.sum_len * 1e6 / greatest(w.n_words, 1), 0)) AS BIGINT)
+         AS mean_word_len_e6,
+       CAST(floor(len(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g')) * 1e6
+                  / greatest(len(d.text), 1)) AS BIGINT) AS punct_ratio_e6,
+       CAST(floor(len(regexp_replace(d.text, '[^0-9]', '', 'g')) * 1e6
+                  / greatest(len(d.text), 1)) AS BIGINT) AS digit_ratio_e6,
+       CAST(floor(len(regexp_replace(d.text, '[^A-Z]', '', 'g')) * 1e6
+                  / greatest(len(d.text), 1)) AS BIGINT) AS upper_ratio_e6,
+       CAST(floor(coalesce(m.max_tf * 1e6 / greatest(w.n_words, 1), 0)) AS BIGINT)
+         AS max_word_ratio_e6
+FROM documents d
+LEFT JOIN wsx w ON w.doc_id = d.doc_id
+LEFT JOIN mx m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens_ws,
+       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+         AS n_tokens_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+def _langid_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in LANG_MARKERS.items()
+        for w in sorted(set(ws))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM tokf GROUP BY doc_id),
+markers(m_lang, term) AS (VALUES {rows}),
+hits AS (
+  SELECT t.doc_id, m.m_lang, count(*) AS hits
+  FROM tokf t JOIN markers m ON t.term = m.term
+  GROUP BY t.doc_id, m.m_lang
+),
+best AS (
+  SELECT doc_id, m_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, m_lang ASC) AS r
+  FROM hits
+)
+SELECT tt.doc_id,
+       coalesce(b.m_lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS marker_hits,
+       tt.n_tokens
+FROM totals tt LEFT JOIN (SELECT * FROM best WHERE r = 1) b ON b.doc_id = tt.doc_id
+ORDER BY tt.doc_id
+"""
+
+
+def _bm25_ranked_cte() -> str:
+    """Shared CTE chain producing the RAW-score bm25 ranking (rank<=10)."""
+    return f"""
+{_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len AS doc_len, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len::DOUBLE / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+ranking AS (
+  SELECT qid, doc_id, score,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+  FROM scored
+)
+"""
+
+
+def _rm3_sql() -> str:
+    return f"""
+WITH {_bm25_ranked_cte()},
+top AS (SELECT * FROM ranking WHERE rank <= 10),
+exp AS (
+  SELECT t.qid, tf.term,
+         sum(tf.tf::DOUBLE / dl.doc_len * t.score) AS exp_score
+  FROM top t
+  JOIN tf ON tf.doc_id = t.doc_id
+  JOIN dl ON dl.doc_id = t.doc_id
+  GROUP BY t.qid, tf.term
+),
+eranked AS (
+  SELECT qid, term, exp_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(exp_score * 1e9) DESC, term ASC)
+           AS exp_rank
+  FROM exp
+)
+SELECT qid, term, exp_rank, CAST(floor(exp_score * 1e6) AS BIGINT) AS exp_score_e6
+FROM eranked WHERE exp_rank <= 10 ORDER BY qid, exp_rank
+"""
+
+
+def _ndcg_sql() -> str:
+    qids = ", ".join(f"({q})" for q, _ in ENTRY_QUERIES)
+    return f"""
+WITH {_bm25_ranked_cte()},
+run AS (
+  SELECT qid, doc_id AS docno, floor(score * 1e6) / 1e6 AS qscore
+  FROM ranking WHERE rank <= {TOPK}
+),
+qrels AS (
+  SELECT q.qid, d.doc_id AS docno,
+         CAST((d.doc_id / 7 + q.qid) % 5 AS INT) AS label
+  FROM documents d, (VALUES {qids}) q(qid)
+  WHERE d.doc_id % 7 = 0
+),
+run_pos AS (
+  SELECT qid, docno, qscore,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY qscore DESC, docno DESC) AS pos
+  FROM run
+),
+gains AS (
+  SELECT r.qid, r.pos, coalesce(q.label, 0)::DOUBLE AS g,
+         (pow(2.0, coalesce(q.label, 0)) - 1) AS gain,
+         (pow(2.0, coalesce(q.label, 0)) - 1) / 16.0 AS r
+  FROM run_pos r LEFT JOIN qrels q ON q.qid = r.qid AND q.docno = r.docno
+  WHERE r.pos <= {TOPK}
+),
+decayed AS (
+  SELECT qid, pos, gain, r,
+         exp(coalesce(sum(ln(1 - r)) OVER (PARTITION BY qid ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS decay
+  FROM gains
+),
+per_q AS (
+  SELECT qid, sum(gain / log2(pos + 1)) AS dcg,
+         sum(r * decay / pos) AS err
+  FROM decayed GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2.0, label) - 1) / log2(pos + 1)) AS idcg
+  FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid ORDER BY label DESC) AS pos
+    FROM qrels
+  ) WHERE pos <= {TOPK}
+  GROUP BY qid
+)
+SELECT i.qid,
+       CAST(floor(CASE WHEN i.idcg > 0
+                       THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END * 1e6) AS BIGINT)
+         AS ndcg_e6,
+       CAST(floor(coalesce(p.err, 0) * 1e6) AS BIGINT) AS err_e6
+FROM ideal i LEFT JOIN per_q p ON p.qid = i.qid
+ORDER BY i.qid
+"""
+
+
+_KFOLD_SQL = """
+SELECT CAST(doc_id % 5 AS INT) AS fold, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY 1 ORDER BY fold
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_topk": q_embedding_topk,
+        "quality_features": q_quality_features,
+        "token_counts": q_token_counts,
+        "langid": q_langid,
+        "rm3_expansion": q_rm3_expansion,
+        "ndcg_eval": q_ndcg_eval,
+        "kfold_counts": q_kfold_counts,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    from .parity import _bm25_sql
+
+    return {
+        "minhash_pairs": _minhash_sql(),
+        "simhash_docs": _simhash_sql(),
+        "embedding_topk": _EMB_TOPK_SQL,
+        "quality_features": _QUALITY_SQL,
+        "token_counts": _TOKEN_COUNTS_SQL,
+        "langid": _langid_sql(),
+        "rm3_expansion": _rm3_sql(),
+        "ndcg_eval": _ndcg_sql(),
+        "kfold_counts": _KFOLD_SQL,
+        "bm25_topk_indexed": _bm25_sql(),
+    }

@@ -1,0 +1,119 @@
+"""Multimodal binary plumbing + streaming incremental indexing."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from knowledgeir_spark.multimodal.binaryops import make_fake_image, make_fake_video
+
+    rows = [
+        (0, "image", make_fake_image(640, 480, seed=1)),
+        (1, "image", make_fake_image(640, 480, seed=1)),  # dup content
+        (2, "image", make_fake_image(1920, 1080, seed=2)),
+        (3, "video", make_fake_video(100, 25, seed=3)),
+    ]
+    return spark.createDataFrame(rows, "media_id long, kind string, data binary")
+
+
+def test_decode(spark, media):
+    from knowledgeir_spark.multimodal.binaryops import decode_media
+
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert got[0]["kind"] == "FAKEIMG" and (got[0]["dim_a"], got[0]["dim_b"]) == (640, 480)
+    assert got[2]["dim_a"] == 1920
+    assert got[3]["kind"] == "FAKEVID" and got[3]["dim_a"] == 100
+    assert got[0]["content_hash"] == got[1]["content_hash"]  # exact-dup detectable
+    assert got[0]["content_hash"] != got[2]["content_hash"]
+
+
+def test_features_resize_frames(spark, media):
+    from knowledgeir_spark.multimodal.binaryops import (
+        EMBED_DIM,
+        media_features,
+        resize_images,
+        sample_frames,
+    )
+
+    feats = {r["media_id"]: r["features"] for r in media_features(media).collect()}
+    assert len(feats[0]) == EMBED_DIM
+    assert feats[0] == feats[1]  # deterministic
+    assert feats[0] != feats[2]
+    resized = resize_images(media, 224, 224).collect()
+    assert {r["media_id"] for r in resized} == {0, 1, 2}  # video rows dropped
+    from knowledgeir_spark.multimodal.binaryops import _parse_fake
+
+    assert _parse_fake(bytes(resized[0]["data"]))[1:] == (224, 224)
+    frames = sample_frames(media, every_k=25).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 25, 50, 75]
+
+
+def test_unknown_format_raises(spark):
+    from knowledgeir_spark.multimodal.binaryops import _decode_one
+
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"\x89PNG\r\n\x1a\n" + b"0" * 100)  # real PNG -> stub boundary
+
+
+def test_incremental_index(spark, tmp_path):
+    import glob
+
+    from knowledgeir_spark.index.build import IndexConfig
+    from knowledgeir_spark.index.codec import decode_block
+    from knowledgeir_spark.streaming.incremental import incremental_index
+
+    cfg = IndexConfig(block_size=8, salt_range=16, n_buckets=4)
+    inp = str(tmp_path / "input")
+    root = str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha delta")], schema
+    ).write.mode("append").parquet(inp)
+    incremental_index(spark, inp, root, schema, cfg)
+    deltas1 = glob.glob(root + "/deltas/batch_*")
+    assert len(deltas1) == 1
+
+    # new crawl files arrive -> only they are processed on the next run
+    spark.createDataFrame([(2, "alpha omega")], schema).write.mode("append").parquet(inp)
+    incremental_index(spark, inp, root, schema, cfg)
+    deltas2 = sorted(glob.glob(root + "/deltas/batch_*"))
+    assert len(deltas2) == 2
+
+    rows = []
+    for d in deltas2:
+        rows.extend(spark.read.parquet(d).collect())
+    postings: dict[str, list] = {}
+    for r in rows:
+        ids, tfs, _ = decode_block(r)
+        postings.setdefault(r["term"], []).extend(int(i) for i in ids)
+    assert sorted(postings["alpha"]) == [0, 1, 2]
+    assert postings["omega"] == [2]
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    from knowledgeir_spark.streaming.incremental import windowed_event_counts
+
+    src = str(tmp_path / "events")
+    schema = "ts timestamp, event_type string, value double"
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:02:00", "click", 2.0),
+            ("2024-01-01 00:07:00", "view", 5.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr("cast(ts as timestamp) ts", "event_type", "value").write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("wincounts").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(str(r["win_start"]), r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("select * from wincounts").collect()}
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert rows[("2024-01-01 00:05:00", "view")] == (1, 5.0)

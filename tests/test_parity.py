@@ -65,6 +65,9 @@ def test_all_queries_have_oracles(entry_mod):
     "bm25_topk", "tfidf_topk", "coordinate_topk", "lang_doc_stats",
     "dedup_exact", "pricing_summary", "top_customers",
     "customers_without_orders", "events_histogram", "event_type_daily",
+    "minhash_pairs", "simhash_docs", "embedding_topk", "quality_features",
+    "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
+    "bm25_topk_indexed",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
