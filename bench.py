@@ -8,11 +8,15 @@ Prints ONE JSON line:
 Env:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  KIR_BENCH_SCALING=1  also run the index build at cpus/4 to measure the
+  KIR_BENCH_SCALING=1  also measure the index build at cpus/4 for the
                        two-parallelism scaling efficiency (north_rule's
-                       N -> 4N executor criterion, sandbox proxy) and update
-                       BENCH/BASELINE.md.
+                       N -> 4N executor criterion, sandbox proxy).
   KIR_BENCH_DOCS       override webtext corpus size.
+
+Isolation note: every index-build measurement runs in a FRESH subprocess
+(own JVM + Python) so page-cache state, driver-heap residue from corpus
+generation, and Spark session reuse cannot contaminate the timing — the
+reported build_sec is wall time around build_index() only.
 
 Workloads:
   index_build    full inverted-index build over the synthetic webtext corpus
@@ -29,6 +33,7 @@ import json
 import os
 import shutil
 import statistics
+import subprocess
 import sys
 import time
 
@@ -44,34 +49,57 @@ N_DOCS = int(
 CACHE = os.path.join(REPO, ".bench_cache")
 N_QUERIES = 50
 K = 20
+SALT_RANGE = 1 << 14  # ~6 contiguous doc ranges per head term at 100k docs
 
 
-def ensure_webtext(spark, n_docs: int) -> str:
-    path = os.path.join(CACHE, f"webtext_{n_docs}.parquet")
+def webtext_path(n_docs: int) -> str:
+    return os.path.join(CACHE, f"webtext_{n_docs}.parquet")
+
+
+def ensure_webtext(n_docs: int) -> str:
+    path = webtext_path(n_docs)
     if os.path.isdir(path):
         return path
     from knowledgeir_spark.fixtures.webpages import gen_webpages
+    from knowledgeir_spark.session import get_spark
 
     os.makedirs(CACHE, exist_ok=True)
-    pdf = gen_webpages(n_docs=n_docs)
-    pdf = pdf.reset_index().rename(columns={"index": "doc_id"})
+    pdf = gen_webpages(n_docs=n_docs, with_html=False).reset_index().rename(
+        columns={"index": "doc_id"}
+    )
+    spark = get_spark(cpus=8, app_name="kir-bench-gen")
     spark.createDataFrame(pdf[["doc_id", "url", "text", "lang"]]).repartition(
-        max(CPUS, 8)
+        32
     ).write.mode("overwrite").parquet(path)
+    spark.stop()
     return path
 
 
-def run_index_build(spark, webtext_path: str, tag: str) -> tuple[float, dict]:
+def build_once(cpus: int) -> dict:
+    """Subprocess entry: fresh JVM+Python, one index build, timing on stdout."""
     from knowledgeir_spark.index.build import IndexConfig, build_index
+    from knowledgeir_spark.session import get_spark
 
-    idx_dir = os.path.join(CACHE, f"index_{tag}_{N_DOCS}")
+    idx_dir = os.path.join(CACHE, f"index_c{cpus}_{N_DOCS}")
     shutil.rmtree(idx_dir, ignore_errors=True)
-    docs = spark.read.parquet(webtext_path)
-    cfg = IndexConfig(salt_range=1 << 16, n_buckets=32)
+    spark = get_spark(cpus=cpus, app_name=f"kir-bench-build-{cpus}")
+    docs = spark.read.parquet(webtext_path(N_DOCS))
+    docs.count()  # materialize input listing outside the timed region
+    cfg = IndexConfig(salt_range=SALT_RANGE, n_buckets=32)
     t0 = time.time()
     build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{N_DOCS}")
     dt = time.time() - t0
-    return dt, {"idx_dir": idx_dir}
+    spark.stop()
+    return {"cpus": cpus, "build_sec": round(dt, 3), "idx_dir": idx_dir}
+
+
+def build_in_subprocess(cpus: int) -> dict:
+    env = dict(os.environ, KIR_BENCH_BUILD_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -83,17 +111,32 @@ def main() -> None:
     results: dict[str, float] = {}
     extras: dict = {}
 
-    spark = get_spark(cpus=CPUS, app_name="kir-bench")
-    webtext = ensure_webtext(spark, N_DOCS)
+    ensure_webtext(N_DOCS)
 
-    # 1. index build throughput
-    t_build, info = run_index_build(spark, webtext, f"c{CPUS}")
-    results["index_build"] = round(t_build, 3)
-    extras["index_docs_per_sec"] = round(N_DOCS / t_build, 1)
+    # 1. index build throughput (isolated subprocess)
+    b_hi = build_in_subprocess(CPUS)
+    results["index_build"] = b_hi["build_sec"]
+    extras["index_docs_per_sec"] = round(N_DOCS / b_hi["build_sec"], 1)
     extras["n_docs"] = N_DOCS
 
-    # 2. query latency over the reference-shaped query set
-    reader = IndexReader(spark, info["idx_dir"])
+    # 2. optional two-parallelism scaling evidence (low run also isolated)
+    if os.environ.get("KIR_BENCH_SCALING") == "1":
+        low = max(CPUS // 4, 1)
+        b_lo = build_in_subprocess(low)
+        thr_hi = N_DOCS / b_hi["build_sec"]
+        thr_lo = N_DOCS / b_lo["build_sec"]
+        eff = thr_hi / (thr_lo * (CPUS / low))
+        extras["scaling"] = {
+            "cpus_low": low, "cpus_high": CPUS,
+            "build_sec_low": b_lo["build_sec"], "build_sec_high": b_hi["build_sec"],
+            "docs_per_sec_low": round(thr_lo, 1), "docs_per_sec_high": round(thr_hi, 1),
+            "efficiency": round(eff, 3),
+        }
+
+    spark = get_spark(cpus=CPUS, app_name="kir-bench")
+
+    # 3. query latency over the reference-shaped query set
+    reader = IndexReader(spark, b_hi["idx_dir"])
     queries = [(r.qid, r.query) for r in gen_queries(N_QUERIES).itertuples()]
     reader.search(queries[:1], k=K).collect()  # warm up
     lat = []
@@ -110,29 +153,13 @@ def main() -> None:
     reader.search(queries, k=K).collect()
     results["query_batch_50"] = round(time.time() - tq, 3)
 
-    # 3. driver-contract flagship + relational parity queries at sf
+    # 4. driver-contract flagship + relational parity queries at sf
     for name in ("bm25_topk", "pricing_summary", "top_customers"):
         t0 = time.time()
         parity.queries()[name](spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
 
     spark.stop()
-
-    # 4. optional two-parallelism scaling evidence
-    if os.environ.get("KIR_BENCH_SCALING") == "1":
-        low = max(CPUS // 4, 1)
-        spark_low = get_spark(cpus=low, app_name="kir-bench-low")
-        t_low, _ = run_index_build(spark_low, webtext, f"c{low}")
-        spark_low.stop()
-        thr_hi = N_DOCS / t_build
-        thr_lo = N_DOCS / t_low
-        eff = thr_hi / (thr_lo * (CPUS / low))
-        extras["scaling"] = {
-            "cpus_low": low, "cpus_high": CPUS,
-            "build_sec_low": round(t_low, 3), "build_sec_high": round(t_build, 3),
-            "docs_per_sec_low": round(thr_lo, 1), "docs_per_sec_high": round(thr_hi, 1),
-            "efficiency": round(eff, 3),
-        }
 
     out = {
         "metric": "kir_spark_headline_suite",
@@ -146,4 +173,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("KIR_BENCH_BUILD_CPUS"):
+        print(json.dumps(build_once(int(os.environ["KIR_BENCH_BUILD_CPUS"]))))
+    else:
+        main()

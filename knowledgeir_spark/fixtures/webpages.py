@@ -45,9 +45,11 @@ def _zipf_probs(n: int, s: float = ZIPF_S) -> np.ndarray:
     return p / p.sum()
 
 
-def gen_webpages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
+def gen_webpages(n_docs: int = 1000, seed: int = SEED,
+                 with_html: bool = True) -> pd.DataFrame:
     """Vectorized: one Zipf draw for the whole corpus, split per doc — keeps
-    generation O(total_tokens) numpy so 100k+ doc bench corpora are cheap."""
+    generation O(total_tokens) numpy so 100k+ doc bench corpora are cheap.
+    with_html=False skips the html column (bench corpora; text/lang only)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab())
     probs = _zipf_probs(len(vocab))
@@ -68,22 +70,27 @@ def gen_webpages(n_docs: int = 1000, seed: int = SEED) -> pd.DataFrame:
     junk = b"WARC-junk/1.0 \xff\xfe "
     for i in range(n_docs):
         text = " ".join(doc_toks[i].tolist())
-        title = " ".join(title_toks[i].tolist())
-        html = (junk if junk_mask[i] else b"") + (
-            "<html><head><title>{t}</title>"
-            "<style>body {{ color: red }}</style></head>"
-            "<body><nav>home about contact</nav>"
-            "<p>{x}</p>"
-            "<footer>copyright 2023 example</footer></body></html>"
-        ).format(t=title, x=text).encode("utf-8")
+        if with_html:
+            title = " ".join(title_toks[i].tolist())
+            html = (junk if junk_mask[i] else b"") + (
+                "<html><head><title>{t}</title>"
+                "<style>body {{ color: red }}</style></head>"
+                "<body><nav>home about contact</nav>"
+                "<p>{x}</p>"
+                "<footer>copyright 2023 example</footer></body></html>"
+            ).format(t=title, x=text).encode("utf-8")
+            htmls.append(html)
         urls.append(f"https://host{i % 17}.example/p/{i}")
         tss.append(_EPOCH + _dt.timedelta(seconds=i * 60))
-        htmls.append(html)
         texts.append(text)
         langs.append("en" if lang_mask[i] else "xx")
-    return pd.DataFrame(
-        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
-    )
+    cols = {"url": urls, "warc_ts": tss, "text": texts, "lang": langs}
+    if with_html:
+        cols["html"] = htmls
+    return pd.DataFrame(cols)[
+        ["url", "warc_ts", "html", "text", "lang"] if with_html
+        else ["url", "warc_ts", "text", "lang"]
+    ]
 
 
 def gen_queries(n_queries: int = 50, seed: int = SEED + 1) -> pd.DataFrame:

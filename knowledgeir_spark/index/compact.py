@@ -1,0 +1,144 @@
+"""Index compaction: fold streaming deltas back into the base index.
+
+Deltas produced by streaming/incremental.incremental_index share the base's
+block layout, so queries COULD read base+deltas directly; compaction exists
+to (a) restore the one-dir-per-bucket file layout, (b) merge fragmented
+small blocks (a tail term touched by many deltas), and (c) refresh
+term_stats / field_stats to cover the delta docs.
+
+Implementation: decode base+delta blocks back to long form (the inverse
+mapInPandas of the builder), then re-run the standard salted block build and
+stats stages through the StageManager — the 'postings' and 'term_stats'
+stage fingerprints include the delta list, so compaction itself is an
+idempotent, resumable commit.  field_stats scalars are updated EXACTLY from
+the per-delta stats JSONs (no re-tokenization).  Consumed deltas are left in
+place under deltas/ (the manifest records which are folded in); remove them
+once a compacted snapshot is verified.
+
+Append-only doc_id assumption (new crawl docs get new ids); re-crawled urls
+should be deduped upstream before indexing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lineage import StageManager
+from .build import IndexConfig, POSTINGS_SCHEMA, _make_block_builder, term_bucket_expr
+from .codec import delta_decode, varint_decode
+
+_LONG_FORM = "doc_id long, term string, tf long, doc_len long"
+
+
+def decode_postings_df(blocks: DataFrame) -> DataFrame:
+    """Inverse of the block builder: block rows -> (doc_id, term, tf, doc_len)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_l, terms_l, tfs_l, dls_l = [], [], [], []
+            for row in pdf.itertuples():
+                n = int(row.n_docs)
+                ids = delta_decode(varint_decode(bytes(row.doc_id_deltas), n))
+                tfs = varint_decode(bytes(row.tfs), n)
+                dls = varint_decode(bytes(row.doc_lens), n)
+                ids_l.append(ids.astype(np.int64))
+                tfs_l.append(tfs.astype(np.int64))
+                dls_l.append(dls.astype(np.int64))
+                terms_l.extend([row.term] * n)
+            if ids_l:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_l),
+                        "term": terms_l,
+                        "tf": np.concatenate(tfs_l),
+                        "doc_len": np.concatenate(dls_l),
+                    }
+                )
+
+    return blocks.select(
+        "term", "n_docs", "doc_id_deltas", "tfs", "doc_lens"
+    ).mapInPandas(run, _LONG_FORM)
+
+
+def compact(
+    spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig()
+) -> dict:
+    """Merge deltas/batch_* into the base index (postings + stats stages)."""
+    mgr = StageManager(index_dir)
+    deltas = sorted(glob.glob(os.path.join(index_dir, "deltas", "batch_*")))
+    if not deltas:
+        return {}
+    conf = {"compact_of": deltas, **config.fingerprint_dict()}
+
+    base = spark.read.parquet(mgr.stage_path("postings"))
+    parts = [decode_postings_df(base)]
+    for d in deltas:
+        parts.append(decode_postings_df(spark.read.parquet(d)))
+    long_form = parts[0]
+    for p in parts[1:]:
+        long_form = long_form.unionByName(p)
+
+    results = {}
+
+    def write_postings(tmp: str):
+        salted = long_form.select(
+            "doc_id", "term", "tf", "doc_len",
+            (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
+            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
+        )
+        (
+            salted.repartition(config.n_buckets, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
+            .repartition(config.n_buckets, "bucket")
+            .write.partitionBy("bucket").parquet(tmp)
+        )
+
+    # write to a new stage name, then swap: the old postings stay readable
+    # until the compacted snapshot is committed (crash-safe).
+    results["postings_compacted"] = mgr.run("postings_compacted", conf, write_postings)
+
+    def write_term_stats(tmp: str):
+        (
+            long_form.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .write.parquet(tmp)
+        )
+
+    results["term_stats_compacted"] = mgr.run("term_stats_compacted", conf, write_term_stats)
+
+    # swap compacted stages into place (atomic renames)
+    import shutil
+
+    for stage in ("postings", "term_stats"):
+        old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
+        if os.path.isdir(new):
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(new, old)
+            os.rename(
+                mgr._manifest_path(stage + "_compacted"), mgr._manifest_path(stage)
+            )
+
+    # exact field_stats refresh from per-delta scalars
+    with open(os.path.join(index_dir, "field_stats.json")) as f:
+        fs = json.load(f)
+    for d in deltas:
+        sp = os.path.join(d, "delta_stats.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                ds = json.load(f)
+            fs["n_docs"] += ds["n_docs"]
+            fs["total_len"] += ds["total_len"]
+    fs["avg_doc_len"] = fs["total_len"] / fs["n_docs"] if fs["n_docs"] else 0.0
+    with open(os.path.join(index_dir, "field_stats.json"), "w") as f:
+        json.dump(fs, f, indent=2)
+    return results

@@ -28,8 +28,12 @@ from ..index.build import IndexConfig, POSTINGS_SCHEMA, _make_block_builder, ter
 
 def _delta_writer(index_root: str, config: IndexConfig):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         out = os.path.join(index_root, "deltas", f"batch_{batch_id}")
-        dt = doc_terms(batch_df)
+        dt = doc_terms(batch_df, simple=(config.tokenizer == "simple"))
+        n_docs = batch_df.count()
+        total_len = (dt.groupBy().sum("tf").collect()[0][0]) or 0
         salted = dt.select(
             "doc_id", "term", "tf", "doc_len",
             (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
@@ -41,6 +45,9 @@ def _delta_writer(index_root: str, config: IndexConfig):
             .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
             .write.mode("overwrite").partitionBy("bucket").parquet(out)
         )
+        # per-delta corpus scalars so compaction can update field_stats exactly
+        with open(os.path.join(out, "delta_stats.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "total_len": int(total_len)}, f)
 
     return write_batch
 

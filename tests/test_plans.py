@@ -1,0 +1,86 @@
+"""Physical-plan guarantees: the plans we designed for are the plans we get.
+
+These are regression tests on .explain output — partition pruning, filter
+pushdown, broadcast joins, and shuffle counts — the properties that decide
+whether the engine survives a 100x scale-up (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_doc_terms_is_map_only(spark, webpages_pdf, tmp_path):
+    """Tokenize+TF must not shuffle (doc-local aggregation)."""
+    from knowledgeir_spark.functions.text import doc_terms
+
+    p = str(tmp_path / "docs.parquet")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    spark.createDataFrame(pdf[["doc_id", "text"]]).write.parquet(p)
+    plan = _plan(doc_terms(spark.read.parquet(p)))
+    assert "Exchange" not in plan, plan
+
+
+def test_postings_scan_prunes_buckets(spark, webpages_pdf, tmp_path):
+    """A query's postings scan must hit only the query terms' bucket dirs and
+    push the term predicate into the parquet scan."""
+    from knowledgeir_spark.index.build import IndexConfig, build_index
+    from knowledgeir_spark.index.query import IndexReader
+
+    idx = str(tmp_path / "idx")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"}).iloc[:100]
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    build_index(spark, docs, idx, IndexConfig(n_buckets=8, salt_range=64), "plans")
+    reader = IndexReader(spark, idx)
+    scan = reader.postings_for_terms(["data", "spark"])
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200], plan
+    # files actually read: only the matching bucket dirs
+    n_parts = scan.select(F.input_file_name()).distinct().count()
+    from knowledgeir_spark.index.build import term_bucket_py
+
+    wanted = {term_bucket_py(t, 8) for t in ("data", "spark")}
+    assert n_parts <= len(wanted) * 4  # few files, not all 8 buckets' worth
+
+
+def test_retrieval_broadcasts_query_side(spark, webpages_pdf, queries_pdf):
+    """The J9 scoring join must broadcast the (tiny) query-term side."""
+    from knowledgeir_spark.functions.text import doc_terms
+    from knowledgeir_spark.operators.corpus_stats import term_stats
+    from knowledgeir_spark.operators.retrieval import matched_frame, query_terms
+
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]].iloc[:100])
+    dt = doc_terms(docs)
+    q = query_terms(spark.createDataFrame(queries_pdf))
+    plan = _plan(matched_frame(q, dt, term_stats(dt)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pricing_summary_pushes_filter(spark):
+    """The shipdate predicate must reach the parquet scan."""
+    from knowledgeir_spark.parity import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    pushed = plan.split("PushedFilters: [")
+    assert len(pushed) > 1 and "l_shipdate" in pushed[1][:120], plan
+
+
+def test_semi_join_for_candidate_filter(spark):
+    """P4: candidate filtering compiles to a semi join, not inner+distinct."""
+    from knowledgeir_spark.parity import q_customers_without_orders
+
+    plan = _plan(q_customers_without_orders(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
