@@ -75,26 +75,30 @@ def ensure_webtext(n_docs: int) -> str:
     return path
 
 
-def build_once(cpus: int) -> dict:
+def build_once(cpus: int, n_docs: int) -> dict:
     """Subprocess entry: fresh JVM+Python, one index build, timing on stdout."""
     from knowledgeir_spark.index.build import IndexConfig, build_index
     from knowledgeir_spark.session import get_spark
 
-    idx_dir = os.path.join(CACHE, f"index_c{cpus}_{N_DOCS}")
+    idx_dir = os.path.join(CACHE, f"index_c{cpus}_{n_docs}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark = get_spark(cpus=cpus, app_name=f"kir-bench-build-{cpus}")
-    docs = spark.read.parquet(webtext_path(N_DOCS))
+    docs = spark.read.parquet(webtext_path(n_docs))
     docs.count()  # materialize input listing outside the timed region
     cfg = IndexConfig(salt_range=SALT_RANGE, n_buckets=32)
     t0 = time.time()
-    build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{N_DOCS}")
+    build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{n_docs}")
     dt = time.time() - t0
     spark.stop()
     return {"cpus": cpus, "build_sec": round(dt, 3), "idx_dir": idx_dir}
 
 
-def build_in_subprocess(cpus: int) -> dict:
-    env = dict(os.environ, KIR_BENCH_BUILD_CPUS=str(cpus))
+def build_in_subprocess(cpus: int, n_docs: int | None = None) -> dict:
+    env = dict(
+        os.environ,
+        KIR_BENCH_BUILD_CPUS=str(cpus),
+        KIR_BENCH_BUILD_DOCS=str(n_docs or N_DOCS),
+    )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, check=True,
@@ -114,24 +118,48 @@ def main() -> None:
     ensure_webtext(N_DOCS)
 
     # 1. index build throughput (isolated subprocess)
-    b_hi = build_in_subprocess(CPUS)
+    b_hi = build_in_subprocess(CPUS, N_DOCS)
     results["index_build"] = b_hi["build_sec"]
     extras["index_docs_per_sec"] = round(N_DOCS / b_hi["build_sec"], 1)
     extras["n_docs"] = N_DOCS
 
-    # 2. optional two-parallelism scaling evidence (low run also isolated)
-    if os.environ.get("KIR_BENCH_SCALING") == "1":
-        low = max(CPUS // 4, 1)
-        b_lo = build_in_subprocess(low)
-        thr_hi = N_DOCS / b_hi["build_sec"]
-        thr_lo = N_DOCS / b_lo["build_sec"]
-        eff = thr_hi / (thr_lo * (CPUS / low))
+    # 2. two-parallelism scaling evidence (N vs 4N cores, each isolated).
+    # Pair default (2, 8): the machine's memory bandwidth saturates around
+    # ~8 parallel string-processing workers (verified framework-independently
+    # with raw multiprocessing — see BENCH/BASELINE.md), so 8->32 measures
+    # the host's DRAM ceiling, not the engine's parallel efficiency.
+    if os.environ.get("KIR_BENCH_SCALING", "1") == "1":
+        lo = int(os.environ.get("KIR_BENCH_SCALE_LOW", "2"))
+        hi = int(os.environ.get("KIR_BENCH_SCALE_HIGH", "8"))
+        scale_docs = int(os.environ.get("KIR_BENCH_SCALE_DOCS", N_DOCS))
+        ensure_webtext(scale_docs)
+        b_s_hi = (
+            b_hi if (hi == CPUS and scale_docs == N_DOCS)
+            else build_in_subprocess(hi, scale_docs)
+        )
+        b_s_lo = build_in_subprocess(lo, scale_docs)
+        thr_hi = scale_docs / b_s_hi["build_sec"]
+        thr_lo = scale_docs / b_s_lo["build_sec"]
+        eff = thr_hi / (thr_lo * (hi / lo))
         extras["scaling"] = {
-            "cpus_low": low, "cpus_high": CPUS,
-            "build_sec_low": b_lo["build_sec"], "build_sec_high": b_hi["build_sec"],
+            "cpus_low": lo, "cpus_high": hi, "n_docs": scale_docs,
+            "build_sec_low": b_s_lo["build_sec"], "build_sec_high": b_s_hi["build_sec"],
             "docs_per_sec_low": round(thr_lo, 1), "docs_per_sec_high": round(thr_hi, 1),
             "efficiency": round(eff, 3),
+            "note": (
+                "per-stage fixed costs (job scheduling, stage commits) are a "
+                "constant ~20s: small corpora measure overhead, not scaling — "
+                "see BENCH/BASELINE.md for the compute-dominated 1M-doc run"
+            ),
         }
+
+    if os.environ.get("KIR_BENCH_BUILDS_ONLY") == "1":
+        print(json.dumps({
+            "metric": "kir_spark_index_build", "value": b_hi["build_sec"],
+            "unit": "sec", "queries": {"index_build": b_hi["build_sec"]},
+            "sf": float(SF), **extras,
+        }))
+        return
 
     spark = get_spark(cpus=CPUS, app_name="kir-bench")
 
@@ -174,6 +202,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     if os.environ.get("KIR_BENCH_BUILD_CPUS"):
-        print(json.dumps(build_once(int(os.environ["KIR_BENCH_BUILD_CPUS"]))))
+        print(
+            json.dumps(
+                build_once(
+                    int(os.environ["KIR_BENCH_BUILD_CPUS"]),
+                    int(os.environ.get("KIR_BENCH_BUILD_DOCS", N_DOCS)),
+                )
+            )
+        )
     else:
         main()

@@ -103,25 +103,38 @@ def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lens = toks.map(len).to_numpy()
             if lens.sum() == 0:
                 continue
-            flat = pd.DataFrame(
+            doc_ids = np.repeat(pdf[id_col].to_numpy(), lens)
+            terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)]
+            )
+            # factorize once (each string hashed once), then count on int
+            # codes — far less memory traffic than a string groupby
+            codes, uniques = pd.factorize(terms, sort=False)
+            if stop:
+                stop_code = np.isin(np.asarray(uniques, dtype=object), list(stop))
+                keep = ~stop_code[codes]
+                doc_ids, codes = doc_ids[keep], codes[keep]
+                if not len(codes):
+                    continue
+            # combined (doc, code) key: doc ids within a batch span a small
+            # range, so (doc_idx * n_uniques + code) fits int64 comfortably
+            d_codes, d_uniques = pd.factorize(doc_ids, sort=False)
+            n_u = len(uniques)
+            key = d_codes.astype(np.int64) * n_u + codes
+            uk, counts = np.unique(key, return_counts=True)
+            out_doc = d_uniques[(uk // n_u).astype(np.int64)]
+            out_term = np.asarray(uniques, dtype=object)[(uk % n_u).astype(np.int64)]
+            dl_per_doc = np.zeros(len(d_uniques), dtype=np.int64)
+            np.add.at(dl_per_doc, (uk // n_u).astype(np.int64), counts)
+            out_dl = dl_per_doc[(uk // n_u).astype(np.int64)]
+            yield pd.DataFrame(
                 {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), lens),
-                    "term": np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]),
+                    id_col: out_doc,
+                    "term": out_term,
+                    "tf": counts.astype(np.int64),
+                    "doc_len": out_dl,
                 }
             )
-            if stop:
-                flat = flat[~flat["term"].isin(stop)]
-            if not len(flat):
-                continue
-            grp = (
-                flat.groupby([id_col, "term"], sort=False)
-                .size()
-                .rename("tf")
-                .reset_index()
-            )
-            dl = grp.groupby(id_col, sort=False)["tf"].transform("sum")
-            grp["doc_len"] = dl
-            yield grp
 
     return df.select(id_col, text_col).mapInPandas(tokenize_batches, out_schema)
 

@@ -186,10 +186,19 @@ class IndexReader:
         k: int = 20,
         model: str = "bm25",
         prune: bool = True,
+        merge: str = "spark",
     ) -> DataFrame:
         """queries: [(qid, query_text)] or DataFrame(qid string, query string).
         Returns (qid, doc_id, score, rank) — TREC-shaped, rank-identical to
-        the full-scan path/oracle."""
+        the full-scan path/oracle.
+
+        merge="spark": global top-k via window (the fully-distributed path —
+        right when the per-query candidate fan-in is large).
+        merge="driver": scatter-gather — each (query, doc-range) group's local
+        top-k (<= k rows) is collected and merged on the driver with the same
+        quantized ranking key; one Spark job instead of three stages, the
+        standard low-latency coordinator shape.  Identical results (tested).
+        """
         from ..oracle.tokenizer import tokenize_query
 
         if isinstance(queries, DataFrame):
@@ -231,4 +240,25 @@ class IndexReader:
         local = joined.groupBy("qid", "salt").applyInPandas(
             apply_fn, "qid string, doc_id long, score double"
         )
-        return topk_per_query(local, k=k)
+        if merge == "spark":
+            return topk_per_query(local, k=k)
+        # driver-side scatter-gather merge (rows collected: <= k * n_ranges)
+        import math as _math
+
+        rows = local.collect()
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        out = []
+        for qid in sorted(by_q, key=lambda q: int(q) if q.isdigit() else 0):
+            cand = sorted(
+                by_q[qid],
+                key=lambda ds: (-_math.floor(ds[1] * 1e9), ds[0]),
+            )[:k]
+            out.extend(
+                (qid, doc_id, float(score), rank + 1)
+                for rank, (doc_id, score) in enumerate(cand)
+            )
+        return self.spark.createDataFrame(
+            out, "qid string, doc_id long, score double, rank int"
+        )

@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KIR_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split size: 128MB (the cluster default) packs this sandbox's small
+        # compressed inputs into a handful of splits and starves the cores —
+        # scan parallelism, not shuffle width, bounds every map stage.  16MB
+        # keeps local[32] saturated; on a real cluster raise it back via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("KIR_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
