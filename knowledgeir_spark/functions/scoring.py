@@ -201,4 +201,16 @@ def score_full_vector(
             .cast("long")
             .alias("bool_and")
         )
+    if "cosine" in models:
+        # duet_feature/base.py:215-226 — cosine DISTANCE quirk; zero-tf -> 0
+        vq = q_tf / F.col("sum_q_tf")
+        vd = tf / dl
+        dot = ordered_sum(idx, vq * vd)
+        nq = F.sqrt(ordered_sum(idx, vq * vq))
+        nd = F.sqrt(ordered_sum(idx, vd * vd))
+        aggs.append(
+            F.when(
+                (F.sum(tf) == 0) | (nq * nd == 0), F.lit(0.0)
+            ).otherwise(F.lit(1.0) - dot / (nq * nd)).alias("cosine")
+        )
     return completed.groupBy("qid", "doc_id").agg(*aggs)

@@ -115,8 +115,29 @@ def score_terms(
             score = np.maximum(score, (tf > 0).astype(np.float64))
         elif model == "bool_and":
             score += (tf > 0).astype(np.float64)
+        elif model == "cosine":
+            pass  # handled below (needs three accumulators)
         else:
             raise ValueError(f"unknown model {model}")
+    if model == "cosine":
+        # duet_feature/base.py:215-226 — cosine DISTANCE quirk
+        dot = np.zeros(n_cand)
+        nq = 0.0
+        nd = np.zeros(n_cand)
+        sum_tf = np.zeros(n_cand)
+        for t in ordered:
+            tf = tf_by_term.get(t["term"], zeros)
+            vq = float(t["q_tf"]) / sum_q_tf
+            vd = tf / dl
+            dot += vq * vd
+            nq += vq * vq
+            nd += vd * vd
+            sum_tf += tf
+        denom = math.sqrt(nq) * np.sqrt(nd)
+        out = np.where(
+            (sum_tf == 0) | (denom == 0), 0.0, 1.0 - dot / np.where(denom == 0, 1, denom)
+        )
+        return out
     if model == "bm25":
         return bm25_finalize(score, dl)
     if model in ("lm_dir", "lm_jm", "lm_twoway"):

@@ -99,6 +99,9 @@ def search(
     m = matched_frame(q, doc_terms_df, term_stats_df)
     if model in ("bm25", "tf_idf", "coordinate", "bool_or"):
         scored = score_matched(m, total_df, avg_doc_len, models=(model,))
+    elif model == "cosine":
+        comp = completed_frame(m, q, term_stats_df)
+        scored = score_full_vector(comp, total_df, models=(model,))
     else:
         comp = completed_frame(m, q, term_stats_df)
         scored = score_full_vector(comp, total_df, models=(model,))

@@ -156,6 +156,29 @@ class OracleScorer:
             return 0.0
         return sum(tf / self.doc_len for tf in self.v_tf)
 
+    def cosine(self) -> float:
+        """duet_feature/base.py:215-226 — scipy cosine DISTANCE (1 - sim) of
+        the q-normalized vs doc-normalized aligned vectors; doc_len==0,
+        all-zero tf, or NaN -> 0.  Quirk: a distance, not a similarity."""
+        if self.doc_len == 0:
+            return 0.0
+        if sum(self.v_tf) == 0:
+            return 0.0
+        sum_q = sum(self.v_q_tf)
+        dot = 0.0
+        nq = 0.0
+        nd = 0.0
+        for q_tf, tf in zip(self.v_q_tf, self.v_tf):
+            vq = q_tf / sum_q
+            vd = tf / self.doc_len
+            dot += vq * vd
+            nq += vq * vq
+            nd += vd * vd
+        denom = math.sqrt(nq) * math.sqrt(nd)
+        if denom == 0:
+            return 0.0
+        return 1.0 - dot / denom
+
     def all_scores(self) -> dict[str, float]:
         """Reference ``all_scores`` name set (retrieval_model.py:171-194)."""
         return {

@@ -41,7 +41,7 @@ def test_stats_match_oracle(engine):
 
 @pytest.mark.parametrize(
     "model", ["bm25", "tf_idf", "coordinate", "bool_or", "lm", "lm_dir", "lm_jm",
-              "lm_twoway", "bool_and"]
+              "lm_twoway", "bool_and", "cosine"]
 )
 def test_rank_identical_to_oracle(engine, queries_pdf, model):
     k = 20

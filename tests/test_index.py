@@ -76,7 +76,7 @@ def test_field_stats(built, spark):
     assert rd.field_stats["avg_doc_len"] == pytest.approx(o.avg_doc_len, abs=1e-12)
 
 
-@pytest.mark.parametrize("model", ["bm25", "lm", "lm_dir", "tf_idf", "coordinate"])
+@pytest.mark.parametrize("model", ["bm25", "lm", "lm_dir", "tf_idf", "coordinate", "cosine"])
 @pytest.mark.parametrize("prune", [False, True])
 def test_index_search_rank_identical(spark, built, queries_pdf, model, prune):
     rd = IndexReader(spark, built["idx_dir"])
