@@ -178,8 +178,11 @@ def build_index(
             .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
             # block rows are ~1/100 the size of the long-form postings, so a
             # second (cheap) exchange by bucket keeps the file count at
-            # ~n_buckets instead of shuffle_partitions x n_buckets tiny files
+            # ~n_buckets instead of shuffle_partitions x n_buckets tiny files;
+            # sorting by term inside each bucket file gives parquet row-group
+            # min/max stats that let a query skip non-matching row groups
             .repartition(config.n_buckets, "bucket")
+            .sortWithinPartitions("term", "salt", "block_id")
             .write.partitionBy("bucket")
             .parquet(tmp)
         )

@@ -74,6 +74,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Timestamp-rendering queries must agree with DuckDB's UTC-naive
+    timestamps regardless of the calling session's timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, tf, doc_len) long-form, simple tokenizer, built-ins only."""
     return doc_terms_builtin(_docs(spark, sf_dir), simple=True)
@@ -238,6 +244,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (A4/A7 pooling): groupBy + multi-agg, quantized."""
+    _pin_utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -297,6 +304,7 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T/W: date truncation + two-key agg (streaming-shaped, batch SQL)."""
+    _pin_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
