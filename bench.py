@@ -175,11 +175,25 @@ def main() -> None:
         lat.append(time.time() - tq)
     results["query_serial_50"] = round(time.time() - t0, 3)
     lat.sort()
-    extras["query_p50_sec"] = round(statistics.median(lat), 4)
-    extras["query_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
+    extras["query_spark_p50_sec"] = round(statistics.median(lat), 4)
+    extras["query_spark_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
     tq = time.time()
     reader.search(queries, k=K).collect()
     results["query_batch_50"] = round(time.time() - tq, 3)
+
+    # serving path (coordinator-local pruned read + numpy scorer; no Spark
+    # job per query) — rank-identical to the distributed path (tested)
+    reader.search_local(queries[:1], k=K)
+    lat2 = []
+    t0 = time.time()
+    for q in queries:
+        tq = time.time()
+        reader.search_local([q], k=K)
+        lat2.append(time.time() - tq)
+    results["query_serving_50"] = round(time.time() - t0, 3)
+    lat2.sort()
+    extras["query_p50_sec"] = round(statistics.median(lat2), 4)
+    extras["query_p95_sec"] = round(lat2[int(len(lat2) * 0.95) - 1], 4)
 
     # 4. driver-contract flagship + relational parity queries at sf
     for name in ("bm25_topk", "pricing_summary", "top_customers"):

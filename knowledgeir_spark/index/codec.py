@@ -108,6 +108,31 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) -> 
     }
 
 
+def decode_blocks_concat(
+    delta_bufs: list[bytes], tf_bufs: list[bytes], dl_bufs: list[bytes],
+    n_docs: list[int],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks of one term in three vectorized passes (vs three
+    numpy calls per block): varint streams are concatenated and decoded
+    once; doc ids are recovered with a segmented cumsum (each block's first
+    delta is absolute, so ids_i = cumsum - running-total-at-block-start).
+    ~100x less per-block Python overhead on head terms."""
+    ns = np.asarray(n_docs, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z, z
+    deltas = varint_decode(b"".join(delta_bufs), total)
+    tfs = varint_decode(b"".join(tf_bufs), total)
+    dls = varint_decode(b"".join(dl_bufs), total)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    base = np.zeros(len(ns), dtype=np.uint64)
+    base[1:] = cs[starts[1:] - 1]
+    ids = cs - np.repeat(base, ns)
+    return ids, tfs, dls
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """row with (n_docs, doc_id_deltas, tfs, doc_lens) -> (doc_ids, tfs, doc_lens)."""
     n = int(row["n_docs"])

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..operators.topk import topk_per_query
 from .build import term_bucket_py
-from .codec import varint_decode, delta_decode
+from .codec import decode_blocks_concat, delta_decode, varint_decode
 from . import scoring_np as S
 
 _RANK_Q = 1e9
@@ -68,46 +68,55 @@ def _score_group(
     """One (qid, salt) group -> local top-k (qid, doc_id, score)."""
     qid = pdf["qid"].iat[0]
     terms = q_terms[qid]
-    # decode all blocks per term; gather candidate docs + bounds
-    tf_parts: dict[str, list] = {}
-    id_parts: dict[str, list] = {}
-    dl_parts: dict[str, list] = {}
-    bound_parts: list[np.ndarray] = []
-    cand_parts: list[np.ndarray] = []
+    # decode all blocks per term in three vectorized passes (segmented
+    # cumsum over concatenated varint streams — see codec.decode_blocks_concat)
     df_by_term = {t["term"]: float(t["df"]) for t in terms}
-    for row in pdf.itertuples():
-        ids, tfs, dls = _decode_cols(row)
-        term = row.term
-        id_parts.setdefault(term, []).append(ids)
-        tf_parts.setdefault(term, []).append(tfs)
-        dl_parts.setdefault(term, []).append(dls)
-        cand_parts.append(ids)
+    id_by: dict[str, np.ndarray] = {}
+    tf_raw: dict[str, np.ndarray] = {}
+    dl_raw: dict[str, np.ndarray] = {}
+    bound_by: dict[str, np.ndarray] = {}
+    for term, g in pdf.groupby("term", sort=False):
+        ids, tfs, dls = decode_blocks_concat(
+            [bytes(x) for x in g["doc_id_deltas"]],
+            [bytes(x) for x in g["tfs"]],
+            [bytes(x) for x in g["doc_lens"]],
+            g["n_docs"].tolist(),
+        )
+        id_by[term] = ids.astype(np.int64)
+        tf_raw[term] = tfs.astype(np.float64)
+        dl_raw[term] = dls.astype(np.float64)
         if prune and model == "bm25":
-            b = S.bm25_term_bound(
-                float(row.max_tf), float(row.min_doc_len), df_by_term[term], n, avgdl
+            mt = g["max_tf"].to_numpy(np.float64)
+            mdl = g["min_doc_len"].to_numpy(np.float64)
+            df = df_by_term[term]
+            tf_part = mt * (S.BM25_K1 + 1) / (
+                mt + S.BM25_K1 * (1 - S.BM25_B + S.BM25_B * mdl / avgdl)
             )
-            bound_parts.append(np.full(len(ids), b))
-    if not cand_parts:
+            ratio = max((n - df + 0.5) / (df + 0.5), 1.0)
+            idf = max(math.log(ratio), 0.0)
+            bound_by[term] = np.repeat(
+                ratio * tf_part * idf, g["n_docs"].to_numpy(np.int64)
+            )
+    if not id_by:
         return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
-    all_ids = np.unique(np.concatenate(cand_parts))
+    all_ids = np.unique(np.concatenate(list(id_by.values())))
     n_cand = len(all_ids)
     dl = np.zeros(n_cand, dtype=np.float64)
     tf_by_term: dict[str, np.ndarray] = {}
-    for term in id_parts:
-        ids = np.concatenate(id_parts[term])
-        tfs = np.concatenate(tf_parts[term])
-        dls = np.concatenate(dl_parts[term])
+    pos_by: dict[str, np.ndarray] = {}
+    for term, ids in id_by.items():
         pos = np.searchsorted(all_ids, ids)
+        pos_by[term] = pos
         v = np.zeros(n_cand, dtype=np.float64)
-        v[pos] = tfs
+        v[pos] = tf_raw[term]
         tf_by_term[term] = v
-        dl[pos] = dls
+        dl[pos] = dl_raw[term]
 
     if prune and model == "bm25" and n_cand > 4 * k:
         # per-doc upper bound = sum over terms of that doc's block bound
         ub = np.zeros(n_cand, dtype=np.float64)
-        for ids, bounds in zip(cand_parts, bound_parts):
-            ub[np.searchsorted(all_ids, ids)] += bounds
+        for term, bounds in bound_by.items():
+            ub[pos_by[term]] += bounds
         ub = np.log(np.maximum(ub, 1.0))  # same finalize as bm25 (monotone)
         order = np.argsort(-ub, kind="stable")
         theta_q = -np.inf
@@ -139,6 +148,25 @@ def _score_group(
     return pd.DataFrame(
         {"qid": qid, "doc_id": ids_out[order], "score": scores_out[order]}
     )
+
+
+def _query_term_dicts(queries: list[tuple[str, str]]):
+    """[(qid, text)] -> ({qid: [term dicts]}, all_terms set) — shared by the
+    distributed and serving paths."""
+    from ..oracle.tokenizer import tokenize_query
+
+    q_terms: dict[str, list[dict]] = {}
+    all_terms: set[str] = set()
+    for qid, qtext in queries:
+        seen: dict[str, dict] = {}
+        for pos, t in enumerate(tokenize_query(qtext)):
+            if t in seen:
+                seen[t]["q_tf"] += 1
+            else:
+                seen[t] = {"term": t, "term_idx": pos, "q_tf": 1}
+        q_terms[str(qid)] = list(seen.values())
+        all_terms.update(seen)
+    return q_terms, all_terms
 
 
 class IndexReader:
@@ -199,22 +227,10 @@ class IndexReader:
         quantized ranking key; one Spark job instead of three stages, the
         standard low-latency coordinator shape.  Identical results (tested).
         """
-        from ..oracle.tokenizer import tokenize_query
-
         if isinstance(queries, DataFrame):
             queries = [(r["qid"], r["query"]) for r in queries.collect()]
         # driver-side query-term table (queries are small by definition)
-        q_terms: dict[str, list[dict]] = {}
-        all_terms: set[str] = set()
-        for qid, qtext in queries:
-            seen: dict[str, dict] = {}
-            for pos, t in enumerate(tokenize_query(qtext)):
-                if t in seen:
-                    seen[t]["q_tf"] += 1
-                else:
-                    seen[t] = {"term": t, "term_idx": pos, "q_tf": 1}
-            q_terms[str(qid)] = list(seen.values())
-            all_terms.update(seen)
+        q_terms, all_terms = _query_term_dicts(queries)
         dfs = self.term_stats_for(sorted(all_terms))
         for terms in q_terms.values():
             for t in terms:
@@ -242,6 +258,8 @@ class IndexReader:
         )
         if merge == "spark":
             return topk_per_query(local, k=k)
+        if merge == "local":
+            raise ValueError("use search_local() for the serving path")
         # driver-side scatter-gather merge (rows collected: <= k * n_ranges)
         import math as _math
 
@@ -262,3 +280,65 @@ class IndexReader:
         return self.spark.createDataFrame(
             out, "qid string, doc_id long, score double, rank int"
         )
+
+    # ------------------------------------------------------------------
+    # serving path: no Spark job per query
+
+    def _local_dataset(self):
+        if not hasattr(self, "_pa_dataset"):
+            import pyarrow.dataset as ds
+
+            self._pa_dataset = ds.dataset(
+                os.path.join(self.index_dir, "postings"), partitioning="hive"
+            )
+        return self._pa_dataset
+
+    def search_local(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 20,
+        model: str = "bm25",
+        prune: bool = True,
+    ) -> list[tuple[str, int, float, int]]:
+        """Coordinator-local point-query path: the SAME pruned slice a Spark
+        job would scan (bucket dirs + term row groups) is read directly with
+        pyarrow on the driver and scored with the same numpy kernels — no
+        job scheduling, millisecond latency.  Exactly the scatter-gather a
+        dedicated query node performs; correct whenever the pruned slice of
+        |q| terms fits driver memory (it is the index slice, ~bytes/doc —
+        at larger fan-in fall back to search()).  Returns
+        [(qid, doc_id, score, rank)] rank-identical to search()/oracle."""
+        import pyarrow.dataset as ds
+
+        q_terms, all_terms = _query_term_dicts(queries)
+        dfs = self.term_stats_for(sorted(all_terms))
+        for terms in q_terms.values():
+            for t in terms:
+                t["df"] = dfs.get(t["term"], 0.0)
+        n = float(self.field_stats["n_docs"])
+        avgdl = float(self.field_stats["avg_doc_len"])
+        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in all_terms})
+        filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(
+            sorted(all_terms)
+        )
+        tbl = self._local_dataset().to_table(
+            filter=filt,
+            columns=[
+                "term", "n_docs", "max_tf", "min_doc_len",
+                "doc_id_deltas", "tfs", "doc_lens",
+            ],
+        )
+        pdf = tbl.to_pandas()
+        out: list[tuple[str, int, float, int]] = []
+        for qid, _qtext in queries:
+            qid = str(qid)
+            terms = {t["term"] for t in q_terms[qid]}
+            sub = pdf[pdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            sub = sub.assign(qid=qid)
+            # one group == all doc ranges -> the local top-k IS the global one
+            res = _score_group(sub, q_terms, n, avgdl, model, k, prune)
+            for rank, row in enumerate(res.itertuples(), start=1):
+                out.append((qid, int(row.doc_id), float(row.score), rank))
+        return out
