@@ -169,11 +169,13 @@ def main() -> None:
     reader.search(queries[:1], k=K).collect()  # warm up
     lat = []
     t0 = time.time()
-    for q in queries:
+    # the distributed path's serial latency is the Spark scheduling floor —
+    # 10 samples characterize it; the serving path below runs all 50
+    for q in queries[:10]:
         tq = time.time()
         reader.search([q], k=K).collect()
         lat.append(time.time() - tq)
-    results["query_serial_50"] = round(time.time() - t0, 3)
+    results["query_serial_spark_10"] = round(time.time() - t0, 3)
     lat.sort()
     extras["query_spark_p50_sec"] = round(statistics.median(lat), 4)
     extras["query_spark_p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
