@@ -49,7 +49,6 @@ N_DOCS = int(
 CACHE = os.path.join(REPO, ".bench_cache")
 N_QUERIES = 50
 K = 20
-SALT_RANGE = 1 << 14  # ~6 contiguous doc ranges per head term at 100k docs
 
 
 def webtext_path(n_docs: int) -> str:
@@ -83,9 +82,11 @@ def build_once(cpus: int, n_docs: int) -> dict:
     idx_dir = os.path.join(CACHE, f"index_c{cpus}_{n_docs}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark = get_spark(cpus=cpus, app_name=f"kir-bench-build-{cpus}")
+    from knowledgeir_spark.index.build import choose_salt_range
+
     docs = spark.read.parquet(webtext_path(n_docs))
     docs.count()  # materialize input listing outside the timed region
-    cfg = IndexConfig(salt_range=SALT_RANGE, n_buckets=32)
+    cfg = IndexConfig(salt_range=choose_salt_range(n_docs, cpus), n_buckets=32)
     t0 = time.time()
     build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{n_docs}")
     dt = time.time() - t0

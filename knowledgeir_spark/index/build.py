@@ -64,6 +64,18 @@ POSTINGS_SCHEMA = (
 )
 
 
+def choose_salt_range(n_docs: int, parallelism: int,
+                      min_range: int = 1024, max_range: int = 1 << 20) -> int:
+    """Size the contiguous doc-id salt range so a Zipf head term
+    (df ~ n_docs) splits into ~4x `parallelism` groups (good balance) while
+    every shuffle group stays <= salt_range postings (bounded memory).
+    Clamped: below 1024 the per-group overhead dominates; above 2^20 a
+    single group's decode buffer gets large.  At 10^12 docs with ~10^4 cores
+    this lands on the max (2^20 ~ 1M postings ~ 2-4MB per group)."""
+    target = n_docs // max(4 * parallelism, 1) or 1
+    return int(min(max(target, min_range), max_range))
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Portable term -> bucket hash (computable without Spark at query time)."""
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets

@@ -175,6 +175,52 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session): per user, session
+    count + total events — the lag/cumsum window pattern, batch analog of
+    streaming session windows."""
+    from .parity import _pin_utc
+
+    _pin_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epoch on both engines (DuckDB mirror: epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gaps = ev.select(
+        "user_id",
+        ((us - F.lag(us).over(w)) > 1800 * 1_000_000).cast("int").alias("new_sess"),
+    ).select(
+        "user_id", F.coalesce("new_sess", F.lit(1)).alias("new_sess")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint shared-span pairs — engine-only (uint64
+    wraparound hashing is not portable SQL): rows-only driver check."""
+    from .functions.fingerprint import doc_fingerprints, shared_fingerprint_pairs
+
+    fp = doc_fingerprints(_docs(spark, sf_dir))
+    return shared_fingerprint_pairs(fp, min_shared=2).orderBy("doc_a", "doc_b")
+
+
+def q_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH — recall < 1 by design, so
+    no SQL oracle: rows-only driver check (exact path is embedding_topk)."""
+    from .operators.similarity import rp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = rp_lsh_topk(emb, q, k=10)
+    return out.select("q_id", "vec_id", "rank", _E6(F.col("cos")).alias("cos_e6"))
+
+
 def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: fold partition by key mod k (kfold_partition.py:40-45)."""
     return (
@@ -548,6 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "kfold_counts": q_kfold_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "user_sessions": q_user_sessions,
+        "fingerprint_pairs": q_fingerprint_pairs,  # rows-only (no SQL oracle)
+        "rp_lsh_ann": q_rp_lsh_ann,                # rows-only (approximate)
     }
 
 
@@ -565,4 +614,20 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": _ndcg_sql(),
         "kfold_counts": _KFOLD_SQL,
         "bm25_topk_indexed": _bm25_sql(),
+        "user_sessions": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id ORDER BY user_id""",
+        # fingerprint_pairs / rp_lsh_ann intentionally omitted: the driver
+        # records a rows-only check for them (non-SQL-expressible / approx).
     }

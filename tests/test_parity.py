@@ -57,7 +57,15 @@ def test_all_queries_have_oracles(entry_mod):
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o).issubset(set(q))
-    assert len(q) >= 10
+    assert len(q) >= 25
+    # rows-only entries (documented non-SQL-expressible/approximate)
+    assert set(q) - set(o) == {"fingerprint_pairs", "rp_lsh_ann"}
+
+
+def test_rows_only_queries_run(spark, entry_mod):
+    for name in ("fingerprint_pairs", "rp_lsh_ann"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
 
 
 @pytest.mark.parametrize("name", [
@@ -67,7 +75,7 @@ def test_all_queries_have_oracles(entry_mod):
     "customers_without_orders", "events_histogram", "event_type_daily",
     "minhash_pairs", "simhash_docs", "embedding_topk", "quality_features",
     "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
-    "bm25_topk_indexed",
+    "bm25_topk_indexed", "user_sessions",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
