@@ -145,8 +145,14 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scored_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """matched frame (qid, doc_id, term_idx, q_tf, tf, doc_len, df) +
-    scalars (n, avgdl) for the embedded query set."""
-    dt = _doc_tf(spark, sf_dir)
+    scalars (n, avgdl) for the embedded query set.
+
+    The long-form tokens feed three consumers (scalars, df stats, the
+    matched join); Catalyst does not share common subplans across actions,
+    so persist it once instead of re-tokenizing per lineage."""
+    from pyspark import StorageLevel
+
+    dt = _doc_tf(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()
     total_len = dt.agg(F.sum("tf")).collect()[0][0] or 0
