@@ -52,6 +52,7 @@ class IndexConfig:
     n_buckets: int = 32            # term-hash partition dirs (query pruning)
     build_partitions: int | None = None  # shuffle width; None -> session default
     tokenizer: str = "spec"        # "spec" (engine v1) | "simple" (SQL-parity)
+    codec: str = "varint"          # posting payload codec: "varint" | "pfor"
 
     def fingerprint_dict(self) -> dict:
         return asdict(self)
@@ -89,7 +90,7 @@ def term_bucket_expr(term: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _make_block_builder(block_size: int):
+def _make_block_builder(block_size: int, codec: str = "varint"):
     """mapInPandas fn: partition rows sorted by (term, salt, doc_id) ->
     posting-block rows.  Streams Arrow batches with a carry buffer so a
     (term, salt) group spanning batch boundaries is encoded exactly once;
@@ -109,6 +110,7 @@ def _make_block_builder(block_size: int):
                     ids[start : start + block_size],
                     tfs[start : start + block_size],
                     dls[start : start + block_size],
+                    codec=codec,
                 )
                 blk.update(term=term, salt=int(salt), bucket=int(bucket), block_id=bi)
                 rows.append(blk)
@@ -187,7 +189,7 @@ def build_index(
         (
             salted.repartition(int(parts), "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
+            .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
             # block rows are ~1/100 the size of the long-form postings, so a
             # second (cheap) exchange by bucket keeps the file count at
             # ~n_buckets instead of shuffle_partitions x n_buckets tiny files;
@@ -225,6 +227,7 @@ def build_index(
                 "n_buckets": config.n_buckets,
                 "block_size": config.block_size,
                 "salt_range": config.salt_range,
+                "codec": config.codec,
             },
         )
     return results

@@ -33,12 +33,12 @@ from pyspark.sql import functions as F
 
 from ..plans.lineage import StageManager
 from .build import IndexConfig, POSTINGS_SCHEMA, _make_block_builder, term_bucket_expr
-from .codec import delta_decode, varint_decode
+from .codec import decode_payload, delta_decode
 
 _LONG_FORM = "doc_id long, term string, tf long, doc_len long"
 
 
-def decode_postings_df(blocks: DataFrame) -> DataFrame:
+def decode_postings_df(blocks: DataFrame, codec: str = "varint") -> DataFrame:
     """Inverse of the block builder: block rows -> (doc_id, term, tf, doc_len)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,9 +46,9 @@ def decode_postings_df(blocks: DataFrame) -> DataFrame:
             ids_l, terms_l, tfs_l, dls_l = [], [], [], []
             for row in pdf.itertuples():
                 n = int(row.n_docs)
-                ids = delta_decode(varint_decode(bytes(row.doc_id_deltas), n))
-                tfs = varint_decode(bytes(row.tfs), n)
-                dls = varint_decode(bytes(row.doc_lens), n)
+                ids = delta_decode(decode_payload(bytes(row.doc_id_deltas), n, codec))
+                tfs = decode_payload(bytes(row.tfs), n, codec)
+                dls = decode_payload(bytes(row.doc_lens), n, codec)
                 ids_l.append(ids.astype(np.int64))
                 tfs_l.append(tfs.astype(np.int64))
                 dls_l.append(dls.astype(np.int64))
@@ -79,9 +79,9 @@ def compact(
     conf = {"compact_of": deltas, **config.fingerprint_dict()}
 
     base = spark.read.parquet(mgr.stage_path("postings"))
-    parts = [decode_postings_df(base)]
+    parts = [decode_postings_df(base, config.codec)]
     for d in deltas:
-        parts.append(decode_postings_df(spark.read.parquet(d)))
+        parts.append(decode_postings_df(spark.read.parquet(d), config.codec))
     long_form = parts[0]
     for p in parts[1:]:
         long_form = long_form.unionByName(p)
@@ -97,7 +97,7 @@ def compact(
         (
             salted.repartition(config.n_buckets, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size), POSTINGS_SCHEMA)
+            .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
             .repartition(config.n_buckets, "bucket")
             .write.partitionBy("bucket").parquet(tmp)
         )

@@ -64,6 +64,7 @@ def _score_group(
     model: str,
     k: int,
     prune: bool,
+    codec: str = "varint",
 ) -> pd.DataFrame:
     """One (qid, salt) group -> local top-k (qid, doc_id, score)."""
     qid = pdf["qid"].iat[0]
@@ -81,6 +82,7 @@ def _score_group(
             [bytes(x) for x in g["tfs"]],
             [bytes(x) for x in g["doc_lens"]],
             g["n_docs"].tolist(),
+            codec=codec,
         )
         id_by[term] = ids.astype(np.int64)
         tf_raw[term] = tfs.astype(np.float64)
@@ -183,6 +185,7 @@ class IndexReader:
         with open(os.path.join(index_dir, "field_stats.json")) as f:
             self.field_stats = json.load(f)
         self.n_buckets = int(self.field_stats["n_buckets"])
+        self.codec = self.field_stats.get("codec", "varint")
         # build the scan DataFrames once (schema discovery is not free)
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
@@ -250,8 +253,10 @@ class IndexReader:
         postings = self.postings_for_terms(sorted(all_terms))
         joined = postings.join(F.broadcast(qt_df), "term")
 
+        codec = self.codec
+
         def apply_fn(pdf):
-            return _score_group(pdf, q_terms, n, avgdl, model, k, prune)
+            return _score_group(pdf, q_terms, n, avgdl, model, k, prune, codec)
 
         local = joined.groupBy("qid", "salt").applyInPandas(
             apply_fn, "qid string, doc_id long, score double"
@@ -338,7 +343,7 @@ class IndexReader:
                 continue
             sub = sub.assign(qid=qid)
             # one group == all doc ranges -> the local top-k IS the global one
-            res = _score_group(sub, q_terms, n, avgdl, model, k, prune)
+            res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)
             for rank, row in enumerate(res.itertuples(), start=1):
                 out.append((qid, int(row.doc_id), float(row.score), rank))
         return out
