@@ -289,6 +289,27 @@ class IndexReader:
     # ------------------------------------------------------------------
     # serving path: no Spark job per query
 
+    # if the queries' pruned slice exceeds this many postings, search_auto
+    # routes to the distributed path instead of the coordinator
+    _LOCAL_MAX_POSTINGS = 20_000_000
+
+    def search_auto(
+        self, queries: list[tuple[str, str]], k: int = 20,
+        model: str = "bm25", prune: bool = True,
+    ):
+        """Route point queries to the serving path when the |q|-term slice is
+        coordinator-sized (sum of df from term_stats), else run distributed.
+        Returns a DataFrame either way."""
+        q_terms, all_terms = _query_term_dicts(queries)
+        dfs = self.term_stats_for(sorted(all_terms))
+        slice_postings = sum(dfs.values())
+        if slice_postings <= self._LOCAL_MAX_POSTINGS:
+            rows = self.search_local(queries, k=k, model=model, prune=prune)
+            return self.spark.createDataFrame(
+                rows, "qid string, doc_id long, score double, rank int"
+            )
+        return self.search(queries, k=k, model=model, prune=prune)
+
     def _local_dataset(self):
         if not hasattr(self, "_pa_dataset"):
             import pyarrow.dataset as ds
