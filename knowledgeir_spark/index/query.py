@@ -32,8 +32,6 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -41,19 +39,11 @@ from pyspark.sql import functions as F
 
 from ..operators.topk import topk_per_query
 from .build import term_bucket_py
-from .codec import decode_blocks_concat, delta_decode, varint_decode
+from .codec import decode_blocks_concat
 from . import scoring_np as S
 
 _RANK_Q = 1e9
 _CHUNK = 1024
-
-
-def _decode_cols(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    n = int(row.n_docs)
-    ids = delta_decode(varint_decode(bytes(row.doc_id_deltas), n)).astype(np.int64)
-    tfs = varint_decode(bytes(row.tfs), n).astype(np.float64)
-    dls = varint_decode(bytes(row.doc_lens), n).astype(np.float64)
-    return ids, tfs, dls
 
 
 def _score_group(

@@ -25,7 +25,7 @@ max-df cut (stop-shingle filter), the standard MinHash-at-scale guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_simple_expr

@@ -21,7 +21,7 @@ from .operators.dedup import minhash_lsh_dedup, simhash
 from .operators.eval import ndcg_err_at_k
 from .operators.rm3 import rm3_expansion
 from .operators.similarity import brute_force_topk
-from .operators.topk import RANK_QUANTUM, topk_per_query
+from .operators.topk import topk_per_query
 from .parity import (
     ENTRY_QUERIES,
     TOPK,
