@@ -1,0 +1,93 @@
+"""LeToR feature extraction: all scores per candidate pair == oracle
+all_scores; label/base-score defaults; svm round-trip of the full pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from knowledgeir_spark.functions.text import doc_terms
+from knowledgeir_spark.operators.corpus_stats import doc_stats, field_stats, term_stats
+from knowledgeir_spark.operators.extract import extract_features
+from knowledgeir_spark.oracle.index import OracleIndex
+from knowledgeir_spark.oracle.retrieval import OracleScorer
+from knowledgeir_spark.oracle.tokenizer import query_lm
+
+
+@pytest.fixture(scope="module")
+def setup(spark, webpages_pdf, queries_pdf):
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"}).iloc[:150]
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    dt = doc_terms(docs).cache()
+    ts = term_stats(dt)
+    fs = field_stats(doc_stats(dt, docs_df=docs))
+    queries = spark.createDataFrame(queries_pdf.iloc[:6])
+    oracle = OracleIndex(list(zip(pdf["doc_id"], pdf["text"])))
+    return dict(docs=docs, dt=dt, ts=ts, fs=fs, queries=queries, oracle=oracle,
+                queries_pdf=queries_pdf.iloc[:6])
+
+
+def test_features_match_oracle_all_scores(spark, setup):
+    o = setup["oracle"]
+    # candidates: oracle bm25 top-5 per query + one no-overlap doc
+    cand_rows = []
+    for q in setup["queries_pdf"].itertuples():
+        for d, _ in o.topk(q.query, k=5):
+            cand_rows.append((q.qid, d, float(len(cand_rows))))
+    cands = spark.createDataFrame(cand_rows, "qid string, doc_id long, base_score double")
+    qrels = spark.createDataFrame(
+        [(cand_rows[0][0], str(cand_rows[0][1]), 3)], "qid string, docno string, label int"
+    )
+    out = extract_features(
+        setup["queries"], cands, setup["dt"], setup["ts"],
+        setup["fs"].total_df, setup["fs"].avg_doc_len, qrels_df=qrels,
+    ).collect()
+    assert len(out) == len(cand_rows)
+    by_pair = {(r["qid"], r["docno"]): r for r in out}
+    for qid, doc_id, base in cand_rows:
+        r = by_pair[(qid, str(doc_id))]
+        qtext = setup["queries_pdf"].set_index("qid").loc[qid, "query"]
+        scorer = OracleScorer(
+            query_lm(qtext), o.doc_lms[doc_id], o.df, o.total_df, o.avg_doc_len
+        )
+        expected = scorer.all_scores()
+        expected["cosine"] = scorer.cosine()
+        f = r["features"]
+        for name, val in expected.items():
+            assert f[f"ir_{name}"] == pytest.approx(val, abs=1e-6), (qid, doc_id, name)
+        assert f["0_basescore"] == base
+    # qrel label default 0 / provided label honored (J3)
+    assert by_pair[(cand_rows[0][0], str(cand_rows[0][1]))]["label"] == 3
+    assert by_pair[(cand_rows[1][0], str(cand_rows[1][1]))]["label"] == 0
+
+
+def test_base_score_default(spark, setup):
+    cands = spark.createDataFrame(
+        [( "1", 0 )], "qid string, doc_id long"
+    )
+    out = extract_features(
+        setup["queries"], cands, setup["dt"], setup["ts"],
+        setup["fs"].total_df, setup["fs"].avg_doc_len,
+    ).collect()[0]
+    assert out["features"]["0_basescore"] == -25.0  # J4 default quirk
+
+
+def test_full_pipeline_to_svm(spark, setup, tmp_path):
+    from knowledgeir_spark.sources.svm import read_svm, write_svm
+
+    o = setup["oracle"]
+    cand_rows = []
+    for q in setup["queries_pdf"].itertuples():
+        for d, s in o.topk(q.query, k=3):
+            cand_rows.append((q.qid, d, s))
+    cands = spark.createDataFrame(cand_rows, "qid string, doc_id long, base_score double")
+    feats = extract_features(
+        setup["queries"], cands, setup["dt"], setup["ts"],
+        setup["fs"].total_df, setup["fs"].avg_doc_len,
+    )
+    out = str(tmp_path / "svm")
+    write_svm(feats, out)
+    back = read_svm(spark, out)
+    assert back.count() == len(cand_rows)
+    # '0_basescore' densifies to feature id 1 ('base' first quirk, A11)
+    row = back.collect()[0]
+    assert "1" in row["features"]
