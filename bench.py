@@ -86,7 +86,9 @@ def build_once(cpus: int, n_docs: int) -> dict:
 
     docs = spark.read.parquet(webtext_path(n_docs))
     docs.count()  # materialize input listing outside the timed region
-    cfg = IndexConfig(salt_range=choose_salt_range(n_docs, cpus), n_buckets=32)
+    # salt_range derives from the CORPUS only (reference parallelism 16), so
+    # the scaling pair runs the IDENTICAL job at both core counts
+    cfg = IndexConfig(salt_range=choose_salt_range(n_docs, 16), n_buckets=32)
     t0 = time.time()
     build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{n_docs}")
     dt = time.time() - t0
