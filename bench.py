@@ -84,11 +84,22 @@ def build_once(cpus: int, n_docs: int) -> dict:
     spark = get_spark(cpus=cpus, app_name=f"kir-bench-build-{cpus}")
     from knowledgeir_spark.index.build import choose_salt_range
 
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(webtext_path(n_docs))
-    docs.count()  # materialize input listing outside the timed region
-    # salt_range derives from the CORPUS only (reference parallelism 16), so
-    # the scaling pair runs the IDENTICAL job at both core counts
-    cfg = IndexConfig(salt_range=choose_salt_range(n_docs, 16), n_buckets=32)
+    # warm the page cache for the whole input OUTSIDE the timed region so
+    # run order (hi-then-lo) cannot bias the scaling pair
+    docs.select(F.sum(F.length("text"))).collect()
+    # salt_range AND shuffle width derive from the CORPUS only, so the
+    # scaling pair runs the IDENTICAL job at both core counts.  Width targets
+    # ~1.5M long-form rows (~100MB) per shuffle partition — sizing it to
+    # cores alone (the session default) makes 2M-doc builds spill (measured:
+    # 3.3x time for 2x data at 16 partitions).
+    cfg = IndexConfig(
+        salt_range=choose_salt_range(n_docs, 16),
+        n_buckets=32,
+        build_partitions=max(16, n_docs // 18_000),
+    )
     t0 = time.time()
     build_index(spark, docs, idx_dir, cfg, input_token=f"bench_{n_docs}")
     dt = time.time() - t0
