@@ -171,27 +171,37 @@ def score_full_vector(
     tf, df, dl, idx = F.col("tf"), F.col("df"), F.col("doc_len"), F.col("term_idx")
     q_tf = F.col("q_tf")
     v_q = q_tf / F.col("sum_q_tf")
+    # retrieval_model.py:209-250 — every lm* scorer early-returns
+    # log(MIN_LM_SCORE) when doc_len == 0 (note: WITHOUT the +20 shift).
+    # Per-row contributions for dl=0 groups are discarded by the guard, but
+    # ANSI mode still evaluates them, so they divide by a safe denominator.
+    empty_doc = F.max(dl) == 0
+    dls = F.greatest(dl, F.lit(1))
+
+    def lm_guard(agg: Column) -> Column:
+        return F.when(empty_doc, F.lit(LOG_MIN_LM_SCORE)).otherwise(agg)
+
     aggs = []
     if "lm" in models:
-        aggs.append(ordered_sum(idx, lm_contrib(tf, q_tf, dl)).alias("lm"))
+        aggs.append(lm_guard(ordered_sum(idx, lm_contrib(tf, q_tf, dls))).alias("lm"))
     if "lm_dir" in models:
         aggs.append(
-            (
-                ordered_sum(idx, lm_dir_contrib(tf, df, dl, total_df) * v_q)
+            lm_guard(
+                ordered_sum(idx, lm_dir_contrib(tf, df, dls, total_df) * v_q)
                 + F.lit(20.0)
             ).alias("lm_dir")
         )
     if "lm_jm" in models:
         aggs.append(
-            (
-                ordered_sum(idx, lm_jm_contrib(tf, df, dl, total_df) * q_tf)
+            lm_guard(
+                ordered_sum(idx, lm_jm_contrib(tf, df, dls, total_df) * q_tf)
                 + F.lit(20.0)
             ).alias("lm_jm")
         )
     if "lm_twoway" in models:
         aggs.append(
-            (
-                ordered_sum(idx, lm_twoway_contrib(tf, df, dl, total_df) * q_tf)
+            lm_guard(
+                ordered_sum(idx, lm_twoway_contrib(tf, df, dls, total_df) * q_tf)
                 + F.lit(20.0)
             ).alias("lm_twoway")
         )
@@ -204,7 +214,7 @@ def score_full_vector(
     if "cosine" in models:
         # duet_feature/base.py:215-226 — cosine DISTANCE quirk; zero-tf -> 0
         vq = q_tf / F.col("sum_q_tf")
-        vd = tf / dl
+        vd = tf / dls  # safe denominator; dl=0 groups fall into the 0.0 arm
         dot = ordered_sum(idx, vq * vd)
         nq = F.sqrt(ordered_sum(idx, vq * vq))
         nd = F.sqrt(ordered_sum(idx, vd * vd))

@@ -11,9 +11,20 @@ mapInPandas of the builder), then re-run the standard salted block build and
 stats stages through the StageManager — the 'postings' and 'term_stats'
 stage fingerprints include the delta list, so compaction itself is an
 idempotent, resumable commit.  field_stats scalars are updated EXACTLY from
-the per-delta stats JSONs (no re-tokenization).  Consumed deltas are left in
-place under deltas/ (the manifest records which are folded in); remove them
-once a compacted snapshot is verified.
+the per-delta stats JSONs (no re-tokenization).
+
+Idempotency protocol: field_stats.json carries "folded_deltas" (the list of
+delta basenames already folded AND stats-committed) and is rewritten
+atomically (tmp + rename) as the LAST step — it is the commit point.  Delta
+dirs themselves are left in place (an external janitor may remove folded
+ones); re-running compact() only processes deltas not in folded_deltas.
+The crash window between the postings swap and the stats commit is covered
+by the swapped postings manifest: its conf records which deltas the
+snapshot contains ("compact_of"), so a re-run detects base-already-contains
+deltas and completes the stats commit without re-folding.  The swap itself
+goes rename(old -> old.bak), rename(new -> old), remove backup — there is
+never a moment without a readable postings dir, and an interrupted swap is
+healed at the start of the next run.
 
 Append-only doc_id assumption (new crawl docs get new ids); re-crawled urls
 should be deduped upstream before indexing.
@@ -68,77 +79,133 @@ def decode_postings_df(blocks: DataFrame, codec: str = "varint") -> DataFrame:
     ).mapInPandas(run, _LONG_FORM)
 
 
+def _heal_interrupted_swap(mgr: StageManager) -> None:
+    """Recover from a crash inside the swap: for each stage, if the live dir
+    is missing, restore it from the compacted snapshot (finish the swap) or
+    from the .bak backup (roll back)."""
+    for stage in ("postings", "term_stats"):
+        old = mgr.stage_path(stage)
+        new = mgr.stage_path(stage + "_compacted")
+        bak = old + ".bak"
+        if not os.path.isdir(old):
+            if os.path.isdir(new):
+                os.rename(new, old)
+                if os.path.exists(mgr._manifest_path(stage + "_compacted")):
+                    os.replace(
+                        mgr._manifest_path(stage + "_compacted"),
+                        mgr._manifest_path(stage),
+                    )
+            elif os.path.isdir(bak):
+                os.rename(bak, old)
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+    os.replace(tmp, path)  # same-directory rename: atomic commit
+
+
 def compact(
     spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig()
 ) -> dict:
-    """Merge deltas/batch_* into the base index (postings + stats stages)."""
-    mgr = StageManager(index_dir)
-    deltas = sorted(glob.glob(os.path.join(index_dir, "deltas", "batch_*")))
-    if not deltas:
-        return {}
-    conf = {"compact_of": deltas, **config.fingerprint_dict()}
-
-    base = spark.read.parquet(mgr.stage_path("postings"))
-    parts = [decode_postings_df(base, config.codec)]
-    for d in deltas:
-        parts.append(decode_postings_df(spark.read.parquet(d), config.codec))
-    long_form = parts[0]
-    for p in parts[1:]:
-        long_form = long_form.unionByName(p)
-
-    results = {}
-
-    def write_postings(tmp: str):
-        salted = long_form.select(
-            "doc_id", "term", "tf", "doc_len",
-            (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
-            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
-        )
-        (
-            salted.repartition(config.n_buckets, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
-            .repartition(config.n_buckets, "bucket")
-            .write.partitionBy("bucket").parquet(tmp)
-        )
-
-    # write to a new stage name, then swap: the old postings stay readable
-    # until the compacted snapshot is committed (crash-safe).
-    results["postings_compacted"] = mgr.run("postings_compacted", conf, write_postings)
-
-    def write_term_stats(tmp: str):
-        (
-            long_form.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-            .write.parquet(tmp)
-        )
-
-    results["term_stats_compacted"] = mgr.run("term_stats_compacted", conf, write_term_stats)
-
-    # swap compacted stages into place (atomic renames)
+    """Merge unfolded deltas/batch_* into the base index (postings + stats
+    stages).  Idempotent and crash-safe — see module docstring protocol."""
     import shutil
 
-    for stage in ("postings", "term_stats"):
-        old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
-        if os.path.isdir(new):
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(new, old)
-            os.rename(
-                mgr._manifest_path(stage + "_compacted"), mgr._manifest_path(stage)
+    mgr = StageManager(index_dir)
+    _heal_interrupted_swap(mgr)
+
+    fs_path = os.path.join(index_dir, "field_stats.json")
+    with open(fs_path) as f:
+        fs = json.load(f)
+    folded = set(fs.get("folded_deltas", []))
+
+    all_deltas = sorted(glob.glob(os.path.join(index_dir, "deltas", "batch_*")))
+    pending = [d for d in all_deltas if os.path.basename(d) not in folded]
+    if not pending:
+        return {}
+
+    # deltas already inside the live postings snapshot (swap happened, stats
+    # commit did not — the crash window) are folded into stats only
+    post_manifest = mgr.manifest("postings") or {}
+    in_base = [
+        b for b in post_manifest.get("config", {}).get("compact_of", [])
+        if b not in folded
+    ]
+    to_compact = [d for d in pending if os.path.basename(d) not in in_base]
+    results: dict = {}
+
+    if to_compact:
+        # this snapshot will contain every not-yet-stats-committed delta
+        snapshot_of = sorted(in_base + [os.path.basename(d) for d in to_compact])
+        conf = {"compact_of": snapshot_of, **config.fingerprint_dict()}
+
+        base = spark.read.parquet(mgr.stage_path("postings"))
+        parts = [decode_postings_df(base, config.codec)]
+        for d in to_compact:
+            parts.append(decode_postings_df(spark.read.parquet(d), config.codec))
+        long_form = parts[0]
+        for p in parts[1:]:
+            long_form = long_form.unionByName(p)
+
+        def write_postings(tmp: str):
+            salted = long_form.select(
+                "doc_id", "term", "tf", "doc_len",
+                (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
+                term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
+            )
+            (
+                salted.repartition(config.n_buckets, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_id")
+                .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
+                .repartition(config.n_buckets, "bucket")
+                .write.partitionBy("bucket").parquet(tmp)
             )
 
-    # exact field_stats refresh from per-delta scalars
-    with open(os.path.join(index_dir, "field_stats.json")) as f:
-        fs = json.load(f)
-    for d in deltas:
+        # write to a new stage name, then swap: the old postings stay
+        # readable until the compacted snapshot is committed (crash-safe)
+        results["postings_compacted"] = mgr.run("postings_compacted", conf, write_postings)
+
+        def write_term_stats(tmp: str):
+            (
+                long_form.groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                .write.parquet(tmp)
+            )
+
+        results["term_stats_compacted"] = mgr.run("term_stats_compacted", conf, write_term_stats)
+
+        # swap compacted stages into place; never a moment without a live dir
+        for stage in ("postings", "term_stats"):
+            old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
+            if os.path.isdir(new):
+                bak = old + ".bak"
+                if os.path.isdir(bak):
+                    shutil.rmtree(bak)
+                if os.path.isdir(old):
+                    os.rename(old, bak)
+                os.rename(new, old)
+                if os.path.exists(mgr._manifest_path(stage + "_compacted")):
+                    os.replace(
+                        mgr._manifest_path(stage + "_compacted"),
+                        mgr._manifest_path(stage),
+                    )
+                shutil.rmtree(bak, ignore_errors=True)
+
+    # exact field_stats refresh from per-delta scalars, for every delta now
+    # inside the live snapshot but not yet committed; the folded_deltas list
+    # and the scalars commit together (atomic rename) so a re-run can never
+    # double-count
+    for d in pending:
         sp = os.path.join(d, "delta_stats.json")
         if os.path.exists(sp):
             with open(sp) as f:
                 ds = json.load(f)
             fs["n_docs"] += ds["n_docs"]
             fs["total_len"] += ds["total_len"]
+        folded.add(os.path.basename(d))
     fs["avg_doc_len"] = fs["total_len"] / fs["n_docs"] if fs["n_docs"] else 0.0
-    with open(os.path.join(index_dir, "field_stats.json"), "w") as f:
-        json.dump(fs, f, indent=2)
+    fs["folded_deltas"] = sorted(folded)
+    _atomic_write_json(fs_path, fs)
     return results

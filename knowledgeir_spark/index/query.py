@@ -180,6 +180,7 @@ class IndexReader:
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._df_cache: dict[str, float] | None = None
+        self._df_cache_checked = False
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
@@ -190,7 +191,10 @@ class IndexReader:
         )
 
     def term_stats_for(self, terms: list[str]) -> dict[str, float]:
-        if self._df_cache is None:
+        if self._df_cache is None and not self._df_cache_checked:
+            # run the size check once per reader: oversized vocabularies must
+            # not pay a full count() on every search
+            self._df_cache_checked = True
             n = self._term_stats.count()
             if n <= self._TERM_STATS_CACHE_MAX:
                 self._df_cache = {

@@ -11,16 +11,24 @@ one has an exact DuckDB oracle in the parity suite:
   candidate pairs -> exact Jaccard verification.  Portable trick: the i-th
   "permutation" is min(md5(i || ':' || shingle)) — md5 hex strings order
   uniformly, so the lexicographic min is a valid minwise hash in ANY engine.
-- simhash: 32-bit sign-of-weighted-sum fingerprint from per-term md5 bits;
-  near-dup candidates from 8-bit band equality, verified by bit_count(xor).
+- simhash: 64-bit sign-of-weighted-sum fingerprint from per-term md5 bits;
+  near-dup candidates from 16-bit band equality, verified by bit_count(xor).
 - ngram_jaccard_pairs: exact shingle-set Jaccard for pairs sharing >=1
   shingle (the verification join exposed as its own operator).
 - embedding near-dups live in operators/similarity.py (cosine threshold).
 
 Scale notes: every self-join here is bucketed FIRST (band signature / band
 value), so the shuffle key is the bucket, and pair explosion is bounded by
-bucket size; Zipf-head shingles are excluded from candidate generation via a
-max-df cut (stop-shingle filter), the standard MinHash-at-scale guard.
+bucket size.  Two explicit guards keep candidate generation sub-quadratic on
+web corpora: (1) Zipf-head shingles are excluded before MinHash via a max-df
+cut (stop_shingle_cut — boilerplate shared by 10^7 docs must not seed
+buckets), and (2) band buckets larger than max_bucket are dropped from the
+candidate join (cap_bucket_size) — a bucket of B docs contributes B^2/2
+pairs, so uncapped head buckets degenerate to a cartesian product.  Docs
+dropped this way are by construction near-identical boilerplate clusters;
+exact_dedup (which has no such cap: groupBy, not self-join) still collapses
+the fully-identical ones.  Oversized buckets are observable via
+oversized_lsh_buckets for monitoring.
 """
 
 from __future__ import annotations
@@ -57,6 +65,19 @@ def doc_shingles(
     )
 
 
+def stop_shingle_cut(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds max_df (stop-shingle /
+    boilerplate guard).  One groupBy on the shingle (the same key the
+    signature agg shuffles on) + a left_semi join — no data is widened."""
+    ok = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return shingles.join(ok, "shingle", "left_semi")
+
+
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) — mh_i = min(md5(i':'shingle)) (hex string)."""
     aggs = [
@@ -66,11 +87,8 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
-) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
-    pair (doc_a < doc_b, distinct)."""
+def _band_rows(signatures: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(doc_id, band, sig) — one row per signature band."""
     rows = n_hashes // n_bands
     bands = F.array(
         *[
@@ -85,9 +103,51 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select("doc_id", F.explode(bands).alias("bs")).select(
+    return signatures.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def cap_bucket_size(
+    bucketed: DataFrame, max_bucket: int, keys: list[str]
+) -> DataFrame:
+    """Drop rows in buckets larger than max_bucket before a bucketed
+    self-join (a B-row bucket yields B^2/2 pairs).  Aggregate-then-semi-join
+    rather than a window so the filter is a partial-agg shuffle, not a full
+    sort of the bucket table."""
+    ok = (
+        bucketed.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket)
+        .select(*keys)
+    )
+    return bucketed.join(ok, keys, "left_semi")
+
+
+def oversized_lsh_buckets(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Monitoring view: (band, sig, n_docs) for buckets the candidate join
+    would drop — the warn-metric companion to lsh_candidate_pairs."""
+    return (
+        _band_rows(signatures, n_hashes, n_bands)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair (doc_a < doc_b, distinct).  Buckets larger than max_bucket are
+    excluded (see module docstring; None disables the cap)."""
+    exploded = _band_rows(signatures, n_hashes, n_bands)
+    if max_bucket is not None:
+        exploded = cap_bucket_size(exploded, max_bucket, ["band", "sig"])
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -132,58 +192,92 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
-    """Full pipeline: near-dup pairs (doc_a, doc_b, jaccard>=threshold)."""
+    """Full pipeline: near-dup pairs (doc_a, doc_b, jaccard>=threshold).
+
+    max_shingle_df: absolute stop-shingle document-frequency cut (None = a
+    default of half the corpus size, floored at 3 so toy corpora keep their
+    shingles).  Signatures AND the exact-Jaccard verification both run on
+    the cut shingle set — boilerplate is excluded from the similarity
+    definition, the standard web-dedup convention."""
     sh = doc_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    if max_shingle_df is None:
+        max_shingle_df = max(docs.count() // 2, 3)
+    sh = stop_shingle_cut(sh, max_shingle_df)
     sig = minhash_signatures(sh, n_hashes=n_hashes)
-    pairs = lsh_candidate_pairs(sig, n_hashes=n_hashes, n_bands=n_bands)
+    pairs = lsh_candidate_pairs(
+        sig, n_hashes=n_hashes, n_bands=n_bands, max_bucket=max_bucket
+    )
     return jaccard_verify(pairs, sh, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
+#
+# 64-bit (the standard Charikar/Manku width).  Round-1 shipped 32-bit hashes
+# with 8-bit bands: 256 distinct values per band means ~N^2/256 candidate
+# pairs at corpus scale — a cartesian in disguise.  64 bits with 4 x 16-bit
+# bands gives 65,536 values/band, and the band join is additionally capped.
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
-def _term_hash32(term) -> "F.Column":
-    """Portable 32-bit term hash: first 8 hex chars of md5, base-16 parsed."""
-    return F.conv(F.substring(F.md5(term.cast("binary")), 1, 8), 16, 10).cast("long")
+def _term_hash_half(term, hex_offset: int) -> "F.Column":
+    """32-bit term-hash half: 8 hex chars of md5 at hex_offset, base-16."""
+    return F.conv(
+        F.substring(F.md5(term.cast("binary")), hex_offset, 8), 16, 10
+    ).cast("long")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 32-bit tf-weighted sign fingerprint."""
+    """(doc_id, simhash) — 64-bit tf-weighted sign fingerprint.  The 64-bit
+    term hash is md5 hex chars 1-16 big-endian, handled as two 32-bit halves
+    (hi = chars 1-8, lo = chars 9-16) because base-16 conv of 16 chars can
+    exceed signed-long range; the final signature packs hi<<32 | lo, so bit
+    63 lands in the sign bit (negative longs are valid signatures)."""
     toks = tokenize_simple_expr(F.col(text_col))
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", _term_hash32(F.col("term")))
+        .withColumn("h_hi", _term_hash_half(F.col("term"), 1))
+        .withColumn("h_lo", _term_hash_half(F.col("term"), 9))
     )
+
+    def bit(j: int) -> "F.Column":
+        src, off = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     bit_aggs = [
-        F.sum(
-            F.col("tf")
-            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"b{j}")
+        F.sum(F.col("tf") * (bit(j) * 2 - 1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     sums = tf.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    lo, hi = None, None
+    for j in range(32):
+        bl = F.when(F.col(f"b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        bh = F.when(F.col(f"b{j + 32}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        lo = bl if lo is None else (lo + bl)
+        hi = bh if hi is None else (hi + bh)
+    packed = F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long"))
+    return sums.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs from 8-bit band equality (a pair within hamming<=3 of
-    a 32-bit hash must agree on >=1 of 4 bands), verified by bit_count(xor)."""
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, max_bucket: int | None = 500
+) -> DataFrame:
+    """Candidate pairs from 16-bit band equality (a pair within hamming<=3 of
+    a 64-bit hash must agree on >=1 of 4 bands), verified by bit_count(xor).
+    Band buckets larger than max_bucket are dropped (cap_bucket_size)."""
     n_bands = 4
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("v"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("v"),
             )
             for b in range(n_bands)
         ]
@@ -191,6 +285,8 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     ex = sig.select("doc_id", "simhash", F.explode(bands).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
     )
+    if max_bucket is not None:
+        ex = cap_bucket_size(ex, max_bucket, ["band", "v"])
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, ["band", "v"])

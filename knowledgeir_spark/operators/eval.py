@@ -34,6 +34,11 @@ def ndcg_err_at_k(
 ) -> DataFrame:
     """Returns (qid, ndcg, err) per query (only qids present in qrels,
     gdeval behavior)."""
+    # gdeval.pl keeps only qrels with judgment > 0 (negative judgments, e.g.
+    # TREC Web spam -2, are treated as unjudged -> gain 0).  Filter BOTH the
+    # run-side join and the ideal DCG; label-0 rows contribute gain 0 either
+    # way, negative labels would otherwise produce gain < 0 and decay > 1.
+    qrels = qrels.filter(F.col(label_col) > 0)
     run_w = Window.partitionBy(qid_col).orderBy(
         F.col(score_col).desc(), F.col(doc_col).desc()
     )

@@ -57,17 +57,29 @@ def extract_features(
     matched_scores = score_matched(
         m, total_df, avg_doc_len, models=ALL_MODELS_MATCHED
     )
-    comp = completed_frame(m, q, term_stats_df)
+    # the reference scores EVERY candidate through RetrievalModel with a
+    # full tf vector (zero-overlap -> tf=0 everywhere, still smoothed
+    # nonzero lm* scores; doc absent from the corpus -> doc_len=0 ->
+    # log(1e-10) early return), so the completion runs over ALL candidates,
+    # with doc_len joined from the doc-terms side (0 when the doc is empty
+    # or unknown)
+    doc_lens = dt.select("doc_id", "doc_len").distinct()
+    cand_dl = (
+        cand.select("qid", "doc_id")
+        .join(doc_lens, "doc_id", "left")
+        .select(
+            "qid", "doc_id",
+            F.coalesce(F.col("doc_len"), F.lit(0)).cast("long").alias("doc_len"),
+        )
+    )
+    comp = completed_frame(m, q, term_stats_df, candidates=cand_dl)
     full_scores = score_full_vector(comp, total_df, models=ALL_MODELS_FULL)
     feats = cand.join(matched_scores, ["qid", "doc_id"], "left").join(
         full_scores, ["qid", "doc_id"], "left"
     )
-    # candidates with NO matching q terms still get rows: matched-only
-    # scores default to 0 (set_from_raw zero vectors); full-vector scores
-    # are recomputed impossible without doc_len, so default to the empty-doc
-    # constants would require doc_len — the reference scores them through
-    # the same code path with tf=0 vectors; absent docs here means the doc
-    # shares no term with the query, so bm25/tf_idf/coordinate/bools are 0.
+    # matched-only scores for zero-overlap candidates stay at the coalesce
+    # default 0.0 — identical to the reference's value on a tf=0 vector
+    # (bm25 = log(max(0,1)) = 0, tf_idf/coordinate/bools = 0).
     score_cols = list(ALL_MODELS_MATCHED) + list(ALL_MODELS_FULL)
     pairs = []
     for c in score_cols:

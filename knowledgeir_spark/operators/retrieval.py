@@ -60,11 +60,20 @@ def matched_frame(
 
 
 def completed_frame(matched: DataFrame, q_terms: DataFrame,
-                    term_stats_df: DataFrame) -> DataFrame:
+                    term_stats_df: DataFrame,
+                    candidates: DataFrame | None = None) -> DataFrame:
     """Candidate x q-term completion for the full-vector (LM-family) scores:
     every (qid, doc_id) candidate gets ALL the query's terms, absent tf -> 0,
-    unseen-term df -> 0 (set_from_raw:139-148 defaults)."""
-    candidates = matched.select("qid", "doc_id", "doc_len").distinct()
+    unseen-term df -> 0 (set_from_raw:139-148 defaults).
+
+    candidates: optional explicit (qid, doc_id, doc_len) frame.  Default
+    derives candidates from the matched rows — correct for retrieval (a
+    zero-overlap doc can never enter the top-k), but feature extraction must
+    pass ALL its candidates so zero-overlap docs get the reference's tf=0
+    smoothed scores (set_from_raw builds the full vector for every candidate
+    regardless of overlap)."""
+    if candidates is None:
+        candidates = matched.select("qid", "doc_id", "doc_len").distinct()
     q_stats = term_stats_df.join(
         F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
     )

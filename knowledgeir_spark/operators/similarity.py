@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,8 +89,34 @@ def _plane_signs(n_planes: int, dim: int) -> np.ndarray:
     return signs
 
 
+def rp_signature_udf(n_planes: int, dim: int):
+    """Arrow-vectorized signature kernel: bit p = 1 iff dot(vec, plane_p) > 0,
+    packed into a long.  The (n_planes x dim) Rademacher plane matrix is
+    materialized ONCE on the driver and shipped inside the serialized UDF
+    (16 planes x 1024 dims x 8B = 128 KB — broadcast-sized), so the Catalyst
+    plan holds a single UDF node regardless of dim.  This replaces the
+    rp_signature_expr literal tree (n_planes x dim literal nodes) which blew
+    up analysis/codegen at real embedding dims; the expr path is kept for
+    small-dim cross-testing only."""
+    planes_t = _plane_signs(n_planes, dim).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int64)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (m @ planes_t) > 0  # (batch, n_planes)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return sig
+
+
 def rp_signature_expr(vec, planes: np.ndarray) -> "F.Column":
-    """Bit p = 1 iff dot(vec, plane_p) > 0; packed into a long."""
+    """Bit p = 1 iff dot(vec, plane_p) > 0; packed into a long.
+    TEST-ONLY reference path: builds n_planes x dim literal expression nodes,
+    which is fine at toy dims but not at 768+ — production paths use
+    rp_signature_udf."""
     sig = None
     for p in range(planes.shape[0]):
         plane = planes[p]
@@ -117,11 +144,15 @@ def rp_lsh_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share >=1 signature band with the
-    query; exact cosine re-rank on candidates."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = _plane_signs(n_planes, dim)
+    query; exact cosine re-rank on candidates.  Pass `dim` explicitly at
+    scale — the `.first()` fallback exists only for interactive convenience
+    and costs one Spark job."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    sig_udf = rp_signature_udf(n_planes, dim)
     rows = n_planes // n_bands
     mask = (1 << rows) - 1
 
@@ -138,13 +169,13 @@ def rp_lsh_topk(
 
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
-        rp_signature_expr(F.col(vec_col), planes).alias("sig"),
+        sig_udf(F.col(vec_col)).alias("sig"),
     ).select("vec_id", "vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
         "vec_id", "vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
-        rp_signature_expr(F.col(q_vec_col), planes).alias("sig"),
+        sig_udf(F.col(q_vec_col)).alias("sig"),
     ).select("q_id", "q_vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
         "q_id", "q_vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
     )
@@ -174,15 +205,18 @@ def embedding_near_dup_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = _plane_signs(n_planes, dim)
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join.
+    Pass `dim` explicitly at scale (`.first()` fallback costs a Spark job)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    sig_udf = rp_signature_udf(n_planes, dim)
     rows = n_planes // n_bands
     mask = (1 << rows) - 1
     sig = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
-        rp_signature_expr(F.col(vec_col), planes).alias("sig"),
+        sig_udf(F.col(vec_col)).alias("sig"),
     )
     bands = F.array(
         *[

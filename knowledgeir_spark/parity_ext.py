@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .functions.langid import LANG_MARKERS, detect_language
 from .functions.quality import token_counts
-from .operators.dedup import minhash_lsh_dedup, simhash
+from .operators.dedup import SIMHASH_BITS, minhash_lsh_dedup, simhash
 from .operators.eval import ndcg_err_at_k
 from .operators.rm3 import rm3_expansion
 from .operators.similarity import brute_force_topk
@@ -36,7 +36,7 @@ from .functions.scoring import bm25_contrib, bm25_finalize, ordered_sum
 N_HASHES = 16
 N_BANDS = 4
 MINHASH_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+MAX_BUCKET = 500  # LSH band-bucket cap (engine default, mirrored in SQL)
 
 _E6 = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
 
@@ -200,8 +200,10 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint shared-span pairs — engine-only (uint64
-    wraparound hashing is not portable SQL): rows-only driver check.
+    """Winnowing-fingerprint shared-span pairs.  DuckDB oracle: the uint64
+    polynomial rolling hash is replayed with HUGEINT arithmetic mod 2^64
+    (_fingerprint_sql), winnowing as a ROWS-window min — value-identical to
+    the numpy path (text is ASCII, so char positions == byte positions).
     The testdata's 31-word vocabulary makes char-8-gram fingerprints collide
     across almost all docs, so this is bounded to the first 100 docs with a
     high shared-count threshold (real corpora are far sparser)."""
@@ -212,8 +214,10 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH — recall < 1 by design, so
-    no SQL oracle: rows-only driver check (exact path is embedding_topk)."""
+    """Approximate NN via random-hyperplane LSH.  Recall < 1 by design but
+    the algorithm is fully deterministic (md5-derived Rademacher planes), so
+    the DuckDB oracle (_rp_lsh_sql) replays the identical plane/band/rerank
+    pipeline and must agree exactly — approximation is part of the spec."""
     from .operators.similarity import rp_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -304,21 +308,37 @@ def _minhash_sql() -> str:
             f"SELECT doc_id, {b} AS band, md5({parts}) AS sig FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
+    # mirrors minhash_lsh_dedup defaults: stop-shingle cut at
+    # max(n_docs//2, 3) df, band buckets capped at MAX_BUCKET; signatures
+    # AND the exact-Jaccard verification both run on the cut shingle set
     return f"""
 WITH {_SQL_SHINGLES},
-sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({bands}),
+shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= greatest((SELECT count(*) // 2 FROM documents), 3)
+       ) ok USING (shingle)
+),
+sig AS (SELECT doc_id, {mh_cols} FROM shf GROUP BY doc_id),
+bands0 AS ({bands}),
+bands AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS bsz
+    FROM bands0
+  ) WHERE bsz <= {MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_i
   FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.doc_a
-  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  JOIN shf s1 ON s1.doc_id = c.doc_a
+  JOIN shf s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -332,22 +352,33 @@ ORDER BY doc_a, doc_b
 
 
 def _simhash_sql() -> str:
+    # 64-bit simhash, two 32-bit md5 halves (hi = hex 1-8, lo = hex 9-16);
+    # HUGEINT recombination then two's-complement fold into signed BIGINT
+    # (bit 63 is the sign bit), matching the engine's shiftleft(hi,32)|lo
+    def bit(j: int) -> str:
+        return f"((h_lo >> {j}) & 1)" if j < 32 else f"((h_hi >> {j - 32}) & 1)"
+
     bit_sums = ", ".join(
-        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(SIMHASH_BITS)
+        f"sum(tf * ({bit(j)} * 2 - 1)) AS b{j}" for j in range(SIMHASH_BITS)
     )
     recombine = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(SIMHASH_BITS)
     )
     return f"""
 WITH {_SQL_TOK},
 h AS (
   SELECT doc_id, tf,
-         ('0x' || substring(md5(term), 1, 8))::BIGINT AS h
+         ('0x' || substring(md5(term), 1, 8))::BIGINT AS h_hi,
+         ('0x' || substring(md5(term), 9, 8))::BIGINT AS h_lo
   FROM tf
 ),
-sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash
-FROM sums ORDER BY doc_id
+sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+raw AS (SELECT doc_id, ({recombine}) AS s FROM sums)
+SELECT doc_id,
+       CAST(CASE WHEN s >= {1 << 63}::HUGEINT THEN s - {1 << 64}::HUGEINT
+                 ELSE s END AS BIGINT) AS simhash
+FROM raw ORDER BY doc_id
 """
 
 
@@ -578,6 +609,114 @@ ORDER BY i.qid
 """
 
 
+def _fingerprint_sql() -> str:
+    """Replay functions/fingerprint.py in SQL: uint64 polynomial rolling
+    hash of char 8-grams (HUGEINT arithmetic mod 2^64 — powers of the base
+    precomputed in Python), winnowing = distinct min-per-4-window (the
+    engine dedups by VALUE, so rightmost-vs-leftmost min is immaterial),
+    then the shared-fingerprint pair join.  Bit-identical because the
+    testdata text is ASCII (char positions == UTF-8 byte positions)."""
+    from .functions.fingerprint import K_GRAM, WINDOW, _BASE
+
+    k, w, mod = K_GRAM, WINDOW, 2 ** 64
+    powers = [0] * k
+    powers[k - 1] = 1
+    for i in range(k - 2, -1, -1):
+        powers[i] = (powers[i + 1] * int(_BASE)) % mod
+    terms = " + ".join(
+        (f"c * {powers[0]}::HUGEINT" if j == 0
+         else f"lead(c, {j}) OVER w * {powers[j]}::HUGEINT")
+        for j in range(k)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+pos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM d),
+codes AS (SELECT doc_id, i, unicode(substr(text, i::INT, 1))::HUGEINT AS c FROM pos),
+kg AS (
+  SELECT doc_id, i AS p, ({terms}) % {mod}::HUGEINT AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_chars
+  FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+kgv AS (SELECT doc_id, p, h FROM kg WHERE p <= n_chars - {k - 1}),
+wins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+         count(*) OVER (PARTITION BY doc_id) AS n_kg
+  FROM kgv
+),
+fps AS (SELECT DISTINCT doc_id, mh FROM wins WHERE p <= greatest(n_kg - {w - 1}, 1))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 20
+ORDER BY doc_a, doc_b
+"""
+
+
+def _rp_lsh_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
+    """Replay operators/similarity.rp_lsh_topk in SQL: md5-derived Rademacher
+    planes (sign = bit 0 of digest byte 0 = parity of md5 hex char 2),
+    sign-bit signatures, 4-bit bands, band-bucket candidate join, exact
+    cosine re-rank with the floor(cos*1e9) rank key."""
+    rows = n_planes // n_bands
+    mask = (1 << rows) - 1
+    odd = "('1','3','5','7','9','b','d','f')"
+    return f"""
+WITH pl AS (
+  SELECT p.p, d.d,
+         CASE WHEN substr(md5(p.p::VARCHAR || ':' || d.d::VARCHAR), 2, 1)
+              IN {odd} THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(0,{n_planes})) AS p) p,
+       (SELECT unnest(range(0,{dim})) AS d) d
+),
+ve AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+dots AS (
+  SELECT ve.vec_id, pl.p, sum(ve.x * pl.s) AS dot
+  FROM ve JOIN pl ON pl.d = ve.d GROUP BY ve.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b.b, (sig >> (b.b * {rows})) & {mask} AS v
+  FROM sigs, (SELECT unnest(range(0,{n_bands})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, vb.vec_id AS vec_id
+  FROM bands vb JOIN bands qb ON vb.b = qb.b AND vb.v = qb.v
+  WHERE qb.vec_id < 5 AND vb.vec_id <> qb.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id),
+pdots AS (
+  SELECT c.q_id, c.vec_id, sum(a.x * b.x) AS dot
+  FROM cand c
+  JOIN ve a ON a.vec_id = c.q_id
+  JOIN ve b ON b.vec_id = c.vec_id AND b.d = a.d
+  GROUP BY c.q_id, c.vec_id
+),
+cos AS (
+  SELECT p.q_id, p.vec_id, p.dot / (nq.nrm * nv.nrm) AS cos
+  FROM pdots p
+  JOIN norms nq ON nq.vec_id = p.q_id
+  JOIN norms nv ON nv.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY floor(cos * 1e9) DESC, vec_id ASC) AS rank,
+         CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+  FROM cos
+)
+SELECT q_id, vec_id, rank, cos_e6 FROM ranked WHERE rank <= 10
+ORDER BY q_id, rank
+"""
+
+
 _KFOLD_SQL = """
 SELECT CAST(doc_id % 5 AS INT) AS fold, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_chars
@@ -598,8 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_counts": q_kfold_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "user_sessions": q_user_sessions,
-        "fingerprint_pairs": q_fingerprint_pairs,  # rows-only (no SQL oracle)
-        "rp_lsh_ann": q_rp_lsh_ann,                # rows-only (approximate)
+        "fingerprint_pairs": q_fingerprint_pairs,
+        "rp_lsh_ann": q_rp_lsh_ann,
     }
 
 
@@ -631,6 +770,6 @@ WITH g AS (
 SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM g GROUP BY user_id ORDER BY user_id""",
-        # fingerprint_pairs / rp_lsh_ann intentionally omitted: the driver
-        # records a rows-only check for them (non-SQL-expressible / approx).
+        "fingerprint_pairs": _fingerprint_sql(),
+        "rp_lsh_ann": _rp_lsh_sql(),
     }

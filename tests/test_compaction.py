@@ -67,3 +67,92 @@ def test_compact_noop_without_deltas(spark, webpages_pdf, tmp_path):
     docs = spark.createDataFrame(pdf[["doc_id", "text"]])
     build_index(spark, docs, idx_dir, CFG, input_token="t50")
     assert compact(spark, idx_dir, CFG) == {}
+
+
+def test_compact_rerun_and_new_delta(spark, webpages_pdf, tmp_path):
+    """Idempotency: a re-run after compaction is a no-op; a later delta folds
+    only ITSELF (no re-union of already-folded deltas, no double-counted
+    stats)."""
+    import json
+    import os
+
+    idx_dir = str(tmp_path / "idx3")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:100][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base100")
+
+    inp = str(tmp_path / "arr3")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(pdf.iloc[100:140][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    assert compact(spark, idx_dir, CFG)
+
+    with open(os.path.join(idx_dir, "field_stats.json")) as f:
+        fs1 = json.load(f)
+    assert fs1["n_docs"] == 140 and len(fs1["folded_deltas"]) == 1
+    # consumed deltas are recorded -> immediate re-run is a no-op
+    assert compact(spark, idx_dir, CFG) == {}
+    with open(os.path.join(idx_dir, "field_stats.json")) as f:
+        assert json.load(f) == fs1
+
+    # a later delta folds alone on top of the compacted base
+    spark.createDataFrame(pdf.iloc[140:170][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    assert compact(spark, idx_dir, CFG)
+    with open(os.path.join(idx_dir, "field_stats.json")) as f:
+        fs2 = json.load(f)
+    assert fs2["n_docs"] == 170 and len(fs2["folded_deltas"]) == 2
+
+    oracle = OracleIndex(list(zip(pdf.iloc[:170]["doc_id"], pdf.iloc[:170]["text"])))
+    long_form = decode_postings_df(spark.read.parquet(f"{idx_dir}/postings")).collect()
+    got: dict[str, list] = {}
+    for r in long_form:
+        got.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    assert set(got) == set(oracle.postings)
+    for t in got:
+        assert sorted(got[t]) == sorted(oracle.postings[t]), t
+
+
+def test_compact_recovers_stats_commit_crash(spark, webpages_pdf, tmp_path):
+    """Crash window between the postings swap and the stats commit: the
+    postings manifest already records the folded delta, so a re-run must
+    complete the stats commit WITHOUT unioning the delta into the (already
+    compacted) base again."""
+    import json
+    import os
+
+    idx_dir = str(tmp_path / "idx4")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:100][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base100")
+    inp = str(tmp_path / "arr4")
+    spark.createDataFrame(pdf.iloc[100:130][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, "doc_id long, text string", CFG)
+    assert compact(spark, idx_dir, CFG)
+
+    n_rows = spark.read.parquet(f"{idx_dir}/postings").count()
+    fs_path = os.path.join(idx_dir, "field_stats.json")
+    with open(fs_path) as f:
+        fs_good = json.load(f)
+    # simulate the crash: stats commit rolled back to pre-compact state
+    batch = fs_good["folded_deltas"][0]
+    with open(os.path.join(idx_dir, "deltas", batch, "delta_stats.json")) as f:
+        ds = json.load(f)
+    fs_crash = dict(fs_good)
+    fs_crash["folded_deltas"] = []
+    fs_crash["n_docs"] -= ds["n_docs"]
+    fs_crash["total_len"] -= ds["total_len"]
+    with open(fs_path, "w") as f:
+        json.dump(fs_crash, f)
+
+    compact(spark, idx_dir, CFG)  # recovery run
+    with open(fs_path) as f:
+        fs_after = json.load(f)
+    assert fs_after["n_docs"] == fs_good["n_docs"]
+    assert fs_after["total_len"] == fs_good["total_len"]
+    assert fs_after["folded_deltas"] == fs_good["folded_deltas"]
+    # postings were NOT re-unioned: same physical row count
+    assert spark.read.parquet(f"{idx_dir}/postings").count() == n_rows

@@ -61,7 +61,9 @@ def test_simhash_near_pairs(spark, dup_docs):
     sig = simhash(dup_docs)
     rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
     assert rows[0] == rows[1]  # identical docs -> identical fingerprint
-    assert 0 <= rows[0] < 2 ** 32
+    # 64-bit signature: any long is valid (bit 63 = sign bit); docs with
+    # different content must not collide at this corpus size
+    assert len(set(rows.values())) >= 3
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in simhash_near_pairs(sig, max_hamming=6).collect()
@@ -127,3 +129,94 @@ def test_rp_lsh_finds_near_dup(spark, vectors):
     pairs = {(r["id_a"], r["id_b"]): r["cos"]
              for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
     assert (3, 7) in pairs
+
+
+def test_rp_signature_udf_matches_expr(spark, vectors):
+    """Cross-test: the production pandas-UDF signature kernel is value-
+    identical to the literal-expression reference path on small dims."""
+    from knowledgeir_spark.operators.similarity import (
+        _plane_signs,
+        rp_signature_expr,
+        rp_signature_udf,
+    )
+
+    df, base = vectors
+    dim = base.shape[1]
+    planes = _plane_signs(16, dim)
+    both = df.select(
+        "vec_id",
+        rp_signature_expr(F.col("embedding"), planes).alias("sig_expr"),
+        rp_signature_udf(16, dim)(F.col("embedding")).alias("sig_udf"),
+    ).collect()
+    assert both
+    for r in both:
+        assert r["sig_expr"] == r["sig_udf"], r["vec_id"]
+
+
+def test_rp_lsh_survives_real_embedding_dim(spark):
+    """dim=768: the old literal-tree path built ~12k expression nodes per
+    signature column; the UDF path must plan and run flat."""
+    import time
+
+    from knowledgeir_spark.operators.similarity import rp_lsh_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 768)).astype(np.float32)
+    base[9] = base[2] + 0.01 * rng.normal(size=768).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).filter(F.col("q_id") == 2)
+    t0 = time.monotonic()
+    rows = rp_lsh_topk(df, q, k=5, dim=768).collect()
+    elapsed = time.monotonic() - t0
+    assert rows and rows[0]["vec_id"] == 9
+    assert elapsed < 60  # literal-tree path took minutes/OOM'd at this dim
+
+
+def test_ubiquitous_shingle_does_not_explode_candidates(spark):
+    """Scale guard: a boilerplate shingle shared by every doc must not make
+    every doc pair a candidate.  With the stop-shingle cut + bucket cap,
+    candidate count stays near zero; without them it would be ~N^2/2."""
+    from knowledgeir_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        stop_shingle_cut,
+    )
+
+    n = 60
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique{i} text{i} body{i} word{i}a word{i}b")
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = doc_shingles(docs, k=3)
+    cut = stop_shingle_cut(sh, max_df=n // 2)
+    # every boilerplate shingle (df=60 > 30) is gone; per-doc uniques remain
+    remaining = cut.groupBy("shingle").count().agg(F.max("count")).first()[0]
+    assert remaining <= n // 2
+    pairs = lsh_candidate_pairs(minhash_signatures(cut), max_bucket=10)
+    assert pairs.count() < n  # far below the ~1770 all-pairs blowup
+
+
+def test_bucket_cap_drops_oversized_buckets(spark):
+    from knowledgeir_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_lsh_buckets,
+    )
+
+    # 30 identical docs -> one bucket of 30 per band; cap at 10 drops them all
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate page body text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(doc_shingles(docs, k=3))
+    assert lsh_candidate_pairs(sig, max_bucket=10).count() == 0
+    assert lsh_candidate_pairs(sig, max_bucket=None).count() == 30 * 29 // 2
+    over = oversized_lsh_buckets(sig, max_bucket=10).collect()
+    assert over and all(r["n_docs"] == 30 for r in over)

@@ -28,11 +28,21 @@ def setup(spark, webpages_pdf, queries_pdf):
 
 def test_features_match_oracle_all_scores(spark, setup):
     o = setup["oracle"]
-    # candidates: oracle bm25 top-5 per query + one no-overlap doc
+    # candidates: oracle bm25 top-5 per query + one zero-overlap doc per
+    # query (shares NO term -> reference still smooths lm* over the tf=0
+    # vector) + one doc absent from the corpus entirely (doc_len=0 ->
+    # log(1e-10) early return)
     cand_rows = []
     for q in setup["queries_pdf"].itertuples():
         for d, _ in o.topk(q.query, k=5):
             cand_rows.append((q.qid, d, float(len(cand_rows))))
+        q_terms = set(query_lm(q.query))
+        no_overlap = next(
+            d for d, lm in sorted(o.doc_lms.items())
+            if lm and not q_terms & set(lm)
+        )
+        cand_rows.append((q.qid, no_overlap, float(len(cand_rows))))
+        cand_rows.append((q.qid, 10_000_000 + int(q.qid), float(len(cand_rows))))
     cands = spark.createDataFrame(cand_rows, "qid string, doc_id long, base_score double")
     qrels = spark.createDataFrame(
         [(cand_rows[0][0], str(cand_rows[0][1]), 3)], "qid string, docno string, label int"
@@ -47,7 +57,8 @@ def test_features_match_oracle_all_scores(spark, setup):
         r = by_pair[(qid, str(doc_id))]
         qtext = setup["queries_pdf"].set_index("qid").loc[qid, "query"]
         scorer = OracleScorer(
-            query_lm(qtext), o.doc_lms[doc_id], o.df, o.total_df, o.avg_doc_len
+            query_lm(qtext), o.doc_lms.get(doc_id, {}), o.df, o.total_df,
+            o.avg_doc_len,
         )
         expected = scorer.all_scores()
         expected["cosine"] = scorer.cosine()

@@ -58,14 +58,8 @@ def test_all_queries_have_oracles(entry_mod):
     o = entry_mod.oracle_sql()
     assert set(o).issubset(set(q))
     assert len(q) >= 25
-    # rows-only entries (documented non-SQL-expressible/approximate)
-    assert set(q) - set(o) == {"fingerprint_pairs", "rp_lsh_ann"}
-
-
-def test_rows_only_queries_run(spark, entry_mod):
-    for name in ("fingerprint_pairs", "rp_lsh_ann"):
-        df = entry_mod.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0
+    # every registered query has a DuckDB oracle (round-2 bar)
+    assert set(q) - set(o) == set()
 
 
 @pytest.mark.parametrize("name", [
@@ -75,7 +69,7 @@ def test_rows_only_queries_run(spark, entry_mod):
     "customers_without_orders", "events_histogram", "event_type_daily",
     "minhash_pairs", "simhash_docs", "embedding_topk", "quality_features",
     "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
-    "bm25_topk_indexed", "user_sessions",
+    "bm25_topk_indexed", "user_sessions", "fingerprint_pairs", "rp_lsh_ann",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
