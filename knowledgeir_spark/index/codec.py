@@ -234,6 +234,28 @@ def decode_blocks_concat(
     return ids, tfs, dls
 
 
+def decode_ids_concat(
+    delta_bufs: list[bytes], n_docs: list[int], codec: str = "varint"
+) -> np.ndarray:
+    """Doc-id-only variant of decode_blocks_concat — for terms whose score
+    contribution is provably zero (idf clamp) but whose docs still count as
+    candidates, tf/doc_len streams need not be decoded at all."""
+    ns = np.asarray(n_docs, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if codec == "pfor":
+        return np.concatenate(
+            [delta_decode(pfor_decode(db, int(n))) for db, n in zip(delta_bufs, n_docs)]
+        )
+    deltas = varint_decode(b"".join(delta_bufs), total)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    base = np.zeros(len(ns), dtype=np.uint64)
+    base[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(base, ns)
+
+
 def decode_block(row, codec: str = "varint") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """row with (n_docs, doc_id_deltas, tfs, doc_lens) -> (doc_ids, tfs, doc_lens)."""
     n = int(row["n_docs"])

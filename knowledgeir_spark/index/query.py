@@ -39,11 +39,13 @@ from pyspark.sql import functions as F
 
 from ..operators.topk import topk_per_query
 from .build import term_bucket_py
-from .codec import decode_blocks_concat
+from .codec import decode_blocks_concat, decode_ids_concat, decode_payload, delta_decode
 from . import scoring_np as S
 
 _RANK_Q = 1e9
 _CHUNK = 1024
+# engage decode-level WAND only when there is enough to skip
+_BMW_MIN_BLOCKS = 32
 
 
 def _score_group(
@@ -140,6 +142,276 @@ def _score_group(
     return pd.DataFrame(
         {"qid": qid, "doc_id": ids_out[order], "score": scores_out[order]}
     )
+
+
+def _score_group_bmw(
+    pdf: pd.DataFrame,
+    q_terms: dict[str, list[dict]],
+    n: float,
+    avgdl: float,
+    k: int,
+    codec: str = "varint",
+    init_batch: int = 256,
+) -> pd.DataFrame:
+    """Cursor-style Block-Max WAND at DECODE granularity (bm25 only) — the
+    head-term serving lever: blocks whose doc-id range lies entirely in
+    segments bounded below the running top-k threshold are never decoded.
+
+    _score_group prunes at the SCORING stage (it decodes every posting block
+    first, so a Zipf head term costs ~df decode work regardless of k).  Here
+    the doc-id axis is split into segments at block boundaries; each
+    segment's upper bound is the sum of its covering blocks' block-max
+    bounds (valid because a term's blocks are disjoint in doc_id: at most
+    one block per term covers a segment, and block-max >= any member's
+    contribution).  Segments are visited in bound-descending batches, each
+    batch scored in ONE vectorized union (no per-doc Python), theta updated,
+    and all remaining segments with quantized finalized bound < theta
+    dropped.  Exact, including doc_id tie-breaks: ties (== theta) are always
+    scored, and the quantized ranking key floor(score*1e9) matches the
+    engine-wide contract.
+    """
+    qid = str(pdf["qid"].iat[0])
+    terms = q_terms[qid]
+    df_by_term = {t["term"]: float(t["df"]) for t in terms}
+
+    # per-term block tables sorted by first_doc_id; bounds need NO decode
+    tg: dict[str, dict] = {}
+    total_blocks = 0
+    for term, g in pdf.groupby("term", sort=False):
+        first = g["first_doc_id"].to_numpy(np.int64)
+        order = np.argsort(first, kind="stable")
+        g = g.iloc[order]
+        first = first[order]
+        mt = g["max_tf"].to_numpy(np.float64)
+        mdl = g["min_doc_len"].to_numpy(np.float64)
+        df = df_by_term[term]
+        tf_part = mt * (S.BM25_K1 + 1) / (
+            mt + S.BM25_K1 * (1 - S.BM25_B + S.BM25_B * mdl / avgdl)
+        )
+        ratio = max((n - df + 0.5) / (df + 0.5), 1.0)
+        idf = max(math.log(ratio), 0.0)
+        tg[term] = {
+            "first": first,
+            "last": g["max_doc_id"].to_numpy(np.int64),
+            "ub": ratio * tf_part * idf,
+            "deltas": g["doc_id_deltas"].tolist(),
+            "tfs": g["tfs"].tolist(),
+            "dls": g["doc_lens"].tolist(),
+            "nd": g["n_docs"].to_numpy(np.int64),
+            "cache": {},
+        }
+        total_blocks += len(first)
+    if not tg:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+
+    def decode_into_cache(d: dict, jj: int):
+        c = d["cache"]
+        if jj not in c:
+            nd = int(d["nd"][jj])
+            c[jj] = (
+                delta_decode(
+                    decode_payload(bytes(d["deltas"][jj]), nd, codec)
+                ).astype(np.int64),
+                decode_payload(bytes(d["tfs"][jj]), nd, codec).astype(np.float64),
+                decode_payload(bytes(d["dls"][jj]), nd, codec).astype(np.float64),
+            )
+        return c[jj]
+
+    # selective ("driving") terms — few blocks relative to the head terms —
+    # are decoded EAGERLY: a sparse block can span a huge doc-id range, and
+    # its span-wide block-max would otherwise keep every underlying head-term
+    # block alive.  With exact postings in hand, such a term contributes to a
+    # segment's bound only where it actually has a posting.
+    cheap_cap = max(4, total_blocks // 16)
+    cheap = {t for t, d in tg.items() if len(d["first"]) <= cheap_cap}
+    if len(cheap) == len(tg):
+        cheap = set()  # all-cheap degenerates to decode-all; skip the work
+
+    # segment sweep: boundaries at block starts/ends.  Expensive terms add
+    # their block-max over the block's whole span (difference array — a
+    # term's blocks are disjoint); cheap terms add an exact per-segment max
+    # of their per-doc contribution sums.
+    bnds = np.unique(
+        np.concatenate(
+            [t["first"] for t in tg.values()] + [t["last"] + 1 for t in tg.values()]
+        )
+    )
+    nseg = len(bnds) - 1
+    diff = np.zeros(nseg + 1, dtype=np.float64)
+    for term, t in tg.items():
+        if term in cheap:
+            continue
+        np.add.at(diff, np.searchsorted(bnds, t["first"], "left"), t["ub"])
+        np.add.at(diff, np.searchsorted(bnds, t["last"] + 1, "left"), -t["ub"])
+    seg_ub = np.cumsum(diff[:nseg])
+    if cheap:
+        # exact per-doc sums across all cheap terms (union-aligned)
+        cheap_parts = {}
+        for term in cheap:
+            d = tg[term]
+            blks = [decode_into_cache(d, jj) for jj in range(len(d["first"]))]
+            cheap_parts[term] = (
+                np.concatenate([b[0] for b in blks]),
+                np.concatenate([b[1] for b in blks]),
+                np.concatenate([b[2] for b in blks]),
+            )
+        cu = np.unique(np.concatenate([v[0] for v in cheap_parts.values()]))
+        csum = np.zeros(len(cu), dtype=np.float64)
+        for term, (ids, tfs, dls) in cheap_parts.items():
+            pos = np.searchsorted(cu, ids)
+            contrib = S.bm25_term_contrib(tfs, df_by_term[term], dls, n, avgdl)
+            np.add.at(csum, pos, contrib)
+        seg_of_cheap = np.searchsorted(bnds, cu, "right") - 1
+        np.maximum.at(seg_ub, seg_of_cheap, seg_ub[seg_of_cheap] + csum)
+    # finalized quantized bound (log is monotone; same key as the ranking)
+    seg_fin = np.floor(np.log(np.maximum(seg_ub, 1.0)) * _RANK_Q)
+    remaining = np.argsort(-seg_ub, kind="stable")
+
+    def term_batch_slice(t: str, d: dict, batch_segs: np.ndarray):
+        """Term t's postings falling in any batch segment (vectorized)."""
+        starts = bnds[batch_segs]
+        j = np.searchsorted(d["first"], starts, "right") - 1
+        ok = (j >= 0) & (d["last"][np.maximum(j, 0)] >= starts)
+        need = np.unique(j[ok])
+        if not len(need):
+            return None
+        parts = [decode_into_cache(d, int(jj)) for jj in need]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        # keep postings whose segment is in the batch (batch_segs sorted)
+        seg_of = np.searchsorted(bnds, ids, "right") - 1
+        pos = np.searchsorted(batch_segs, seg_of)
+        pos = np.minimum(pos, len(batch_segs) - 1)
+        mask = batch_segs[pos] == seg_of
+        return ids[mask], tfs[mask], dls[mask]
+
+    theta_q = -np.inf
+    kept_ids: list[np.ndarray] = []
+    kept_scores: list[np.ndarray] = []
+    kept_n = 0
+    batch_sz = init_batch
+    while len(remaining):
+        # drop every segment that can no longer reach the top-k (ties kept)
+        if theta_q > -np.inf:
+            remaining = remaining[seg_fin[remaining] >= theta_q]
+            if not len(remaining):
+                break
+        batch = np.sort(remaining[:batch_sz])
+        remaining = remaining[batch_sz:]
+        per_term = {}
+        for t, d in tg.items():
+            sl = term_batch_slice(t, d, batch)
+            if sl is not None and len(sl[0]):
+                per_term[t] = sl
+        if per_term:
+            u = np.unique(np.concatenate([v[0] for v in per_term.values()]))
+            dl = np.zeros(len(u), dtype=np.float64)
+            tf_by = {}
+            for t, (ids, tfs, dls) in per_term.items():
+                pos = np.searchsorted(u, ids)
+                v = np.zeros(len(u), dtype=np.float64)
+                v[pos] = tfs
+                tf_by[t] = v
+                dl[pos] = dls
+            sc = S.score_terms("bm25", terms, tf_by, dl, n, avgdl)
+            kept_ids.append(u)
+            kept_scores.append(sc)
+            kept_n += len(u)
+            if kept_n >= k:
+                flat = np.concatenate(kept_scores)
+                qk = np.floor(flat * _RANK_Q)
+                theta_q = np.partition(qk, len(qk) - k)[len(qk) - k]
+        batch_sz = min(batch_sz * 2, 8192)
+
+    if not kept_ids:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    ids_out = np.concatenate(kept_ids)
+    scores_out = np.concatenate(kept_scores)
+    qkeys = np.floor(scores_out * _RANK_Q).astype(np.int64)
+    order = np.lexsort((ids_out, -qkeys))[:k]
+    return pd.DataFrame(
+        {"qid": qid, "doc_id": ids_out[order], "score": scores_out[order]}
+    )
+
+
+def _score_group_dense(
+    pdf: pd.DataFrame,
+    q_terms: dict[str, list[dict]],
+    n: float,
+    avgdl: float,
+    k: int,
+    codec: str,
+    id_space: int,
+) -> pd.DataFrame:
+    """Dense-accumulator bm25 scorer for the serving coordinator — the fast
+    path when the doc-id space fits a flat array (engine doc_ids are dense
+    ints by construction).
+
+    Two insights over the union-based _score_group:
+    - accumulate score[doc_id] += contrib per term (one fancy-index add over
+      the term's postings) — no np.unique / searchsorted / per-term scatter
+      over the candidate union, which dominated head-term latency;
+    - terms whose idf clamps to 0 (df > ~N/2 under the reference's
+      max(log(max((N-df+.5)/(df+.5),1)),0) quirk — i.e. exactly the Zipf
+      head) contribute 0 to EVERY doc, so only their doc-id stream is
+      decoded (candidacy) and tf/doc_len streams are skipped entirely.
+
+    Summation order: terms are added in term_idx order, the same
+    left-to-right fold as ordered_sum/the oracle (0.0 + c1 == c1 exactly),
+    so scores are bit-identical to the other paths.
+    """
+    qid = str(pdf["qid"].iat[0])
+    terms = sorted(q_terms[qid], key=lambda t: t["term_idx"])
+    score = np.zeros(id_space, dtype=np.float64)
+    seen = np.zeros(id_space, dtype=bool)
+    groups = {term: g for term, g in pdf.groupby("term", sort=False)}
+    deferred = []  # zero-idf term groups: candidacy-only, decoded lazily
+    for t in terms:
+        g = groups.get(t["term"])
+        if g is None:
+            continue
+        df = float(t["df"])
+        ratio = max((n - df + 0.5) / (df + 0.5), 1.0)
+        idf = max(math.log(ratio), 0.0)
+        if idf == 0.0:
+            deferred.append(g)
+            continue
+        ids, tfs, dls = decode_blocks_concat(
+            [bytes(x) for x in g["doc_id_deltas"]],
+            [bytes(x) for x in g["tfs"]],
+            [bytes(x) for x in g["doc_lens"]],
+            g["n_docs"].tolist(),
+            codec=codec,
+        )
+        ids = ids.astype(np.int64)
+        seen[ids] = True
+        score[ids] += S.bm25_term_contrib(
+            tfs.astype(np.float64), df, dls.astype(np.float64), n, avgdl
+        )
+    cand = np.flatnonzero(seen)
+    # a zero-idf term's docs all score exactly 0: they can only reach the
+    # top-k when fewer than k positive-quantized scores exist, so their
+    # (large, Zipf-head) doc-id streams are decoded only in that rare case
+    if deferred:
+        need_zero = len(cand) < k
+        if not need_zero:
+            kth_raw = np.partition(score[cand], len(cand) - k)[len(cand) - k]
+            need_zero = math.floor(math.log(max(kth_raw, 1.0)) * _RANK_Q) <= 0
+        if need_zero:
+            for g in deferred:
+                ids = decode_ids_concat(
+                    [bytes(x) for x in g["doc_id_deltas"]], g["n_docs"].tolist(),
+                    codec,
+                ).astype(np.int64)
+                seen[ids] = True
+            cand = np.flatnonzero(seen)
+    if not len(cand):
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    sc = np.log(np.maximum(score[cand], 1.0))  # bm25 finalize
+    qkeys = np.floor(sc * _RANK_Q).astype(np.int64)
+    order = np.lexsort((cand, -qkeys))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": cand[order], "score": sc[order]})
 
 
 def _query_term_dicts(queries: list[tuple[str, str]]):
@@ -286,6 +558,9 @@ class IndexReader:
     # if the queries' pruned slice exceeds this many postings, search_auto
     # routes to the distributed path instead of the coordinator
     _LOCAL_MAX_POSTINGS = 20_000_000
+    # dense-accumulator scorer ceiling: one float64 + one bool per doc id
+    # (~9 bytes/doc -> ~450 MB at the cap, coordinator-sized)
+    _DENSE_MAX_DOCS = 50_000_000
 
     def search_auto(
         self, queries: list[tuple[str, str]], k: int = 20,
@@ -344,8 +619,8 @@ class IndexReader:
         tbl = self._local_dataset().to_table(
             filter=filt,
             columns=[
-                "term", "n_docs", "max_tf", "min_doc_len",
-                "doc_id_deltas", "tfs", "doc_lens",
+                "term", "n_docs", "first_doc_id", "max_doc_id", "max_tf",
+                "min_doc_len", "doc_id_deltas", "tfs", "doc_lens",
             ],
         )
         pdf = tbl.to_pandas()
@@ -357,8 +632,20 @@ class IndexReader:
             if not len(sub):
                 continue
             sub = sub.assign(qid=qid)
-            # one group == all doc ranges -> the local top-k IS the global one
-            res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)
+            # one group == all doc ranges -> the local top-k IS the global
+            # one.  bm25 routing: dense-accumulator scorer when the doc-id
+            # space fits a flat array (the head-term lever); decode-level
+            # WAND when it doesn't but the query spans many blocks; the
+            # union scorer otherwise / for other models.
+            id_space = int(sub["max_doc_id"].max()) + 1
+            if prune and model == "bm25" and id_space <= self._DENSE_MAX_DOCS:
+                res = _score_group_dense(
+                    sub, q_terms, n, avgdl, k, self.codec, id_space
+                )
+            elif prune and model == "bm25" and len(sub) >= _BMW_MIN_BLOCKS:
+                res = _score_group_bmw(sub, q_terms, n, avgdl, k, self.codec)
+            else:
+                res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)
             for rank, row in enumerate(res.itertuples(), start=1):
                 out.append((qid, int(row.doc_id), float(row.score), rank))
         return out

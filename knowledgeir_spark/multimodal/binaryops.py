@@ -5,7 +5,9 @@ The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning) is REAL and tested; the actual codec work is
 STUBBED because image/audio libraries are not in this container:
 
-- when Pillow/librosa are importable they are used (import-try gate);
+- when Pillow is importable, real IMAGE decode (width/height) and bilinear
+  resize are wired (import-try gate; tested where PIL exists, skipped
+  otherwise); audio/video codecs (librosa/ffmpeg) remain stubbed;
 - otherwise media in the engine's deterministic FAKE container format
   (``FAKEIMG``/``FAKEVID``/``FAKEAUD`` headers, see _parse_fake) is decoded
   for real, and anything else raises NotImplementedError — a clearly marked
@@ -54,14 +56,31 @@ def _parse_fake(data: bytes) -> tuple[str, int, int]:
 
 
 def _decode_one(data: bytes) -> dict:
-    """-> {kind, width/height | frames/fps, content_hash}.  Stub boundary:
-    real formats need PIL/ffmpeg (NotImplementedError when unavailable)."""
+    """-> {kind, width/height | frames/fps, content_hash}.  Real image
+    formats decode through Pillow when importable (kind = 'IMAGE'); the
+    FAKE container formats always decode; anything else is the explicit
+    stub boundary (NotImplementedError — video/audio codecs are not in
+    this container)."""
     if data is None or len(data) < 15:
         raise NotImplementedError("real media decode requires PIL/ffmpeg (stubbed)")
     head = bytes(data[:7])
     if head not in FAKE_MAGICS:
         if _HAVE_PIL:
-            raise NotImplementedError("PIL path not wired in v1")  # TODO(v2)
+            import io
+
+            try:
+                with Image.open(io.BytesIO(bytes(data))) as img:
+                    w, h = img.size
+            except Exception as exc:  # not an image PIL knows
+                raise NotImplementedError(
+                    f"undecodable media (PIL: {exc}); video/audio stubbed"
+                ) from exc
+            return {
+                "kind": "IMAGE",
+                "dim_a": int(w),
+                "dim_b": int(h),
+                "content_hash": hashlib.md5(bytes(data)).hexdigest(),
+            }
         raise NotImplementedError("real media decode requires PIL/ffmpeg (stubbed)")
     magic, a, b = _parse_fake(bytes(data))
     return {
@@ -123,18 +142,30 @@ def media_features(media: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_id, data binary) with FAKEIMG payloads re-targeted to
-    width x height (real pixel resampling = stub boundary)."""
+    """(media_id, data binary) resized to width x height.  Real images
+    (kind IMAGE, requires Pillow) are resampled bilinearly and re-encoded
+    PNG; FAKEIMG payloads are re-targeted (their pixels are virtual).
+    Non-image rows are dropped."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             ids, datas = [], []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 d = _decode_one(data)
-                if d["kind"] != "FAKEIMG":
-                    continue
-                ids.append(mid)
-                datas.append(make_fake_image(width, height, seed=0))
+                if d["kind"] == "FAKEIMG":
+                    ids.append(mid)
+                    datas.append(make_fake_image(width, height, seed=0))
+                elif d["kind"] == "IMAGE":
+                    with Image.open(io.BytesIO(bytes(data))) as img:
+                        resized = img.resize(
+                            (width, height), resample=Image.BILINEAR
+                        )
+                        buf = io.BytesIO()
+                        resized.save(buf, format="PNG")
+                    ids.append(mid)
+                    datas.append(buf.getvalue())
             yield pd.DataFrame({"media_id": ids, "data": datas})
 
     return media.select("media_id", "data").mapInPandas(

@@ -114,3 +114,62 @@ def surface_ambiguity(annotations: DataFrame, ent_col: str = "entities") -> Data
         F.when(total > 0, entropy).otherwise(F.lit(float("inf"))).alias("cmns_entropy"),
         (top1 - top2).alias("cmns_topdiff"),
     )
+
+
+def surface_stat_features(
+    annotations: DataFrame,
+    field_texts: DataFrame | None = None,
+    surface_stats: DataFrame | None = None,
+    field_col: str = "field",
+    text_col: str = "text",
+    ent_col: str = "entities",
+) -> DataFrame:
+    """F17 completion (round-1 gap): the remaining per-annotation surface
+    features of /root/reference/knowledge4ir/utils/boe.py:77-136 —
+
+    - cmns_prior: the FIRST candidate's cmns (boe.py:77-86 cmns_feature;
+      missing/empty candidate list -> 0);
+    - sf_coverage: (loc[1]-loc[0]) / len(field_text.split()) (boe.py:117-123;
+      raw whitespace split of the RAW field text; empty text raises
+      ZeroDivisionError in the reference — engine yields null, documented);
+    - sf_len: len(surface) in characters (boe.py:123);
+    - sf_lp: wiki link probability from a surface-stat resource, gated on
+      wiki tf >= 10 (boe.py:126-135 surface_lp; missing surface -> 0).
+
+    annotations: rows with (id-ish cols, field, surface, loc array<int>,
+    entities array<struct<id,cmns>>).  field_texts: (doc_id, field, text)
+    for coverage (skipped when None).  surface_stats: (surface, tf, lp)
+    broadcast dimension (skipped when None -> sf_lp = 0)."""
+    out = annotations.withColumn(
+        "cmns_prior",
+        F.coalesce(
+            F.try_element_at(F.col(ent_col), F.lit(1))["cmns"].cast("double"),
+            F.lit(0.0),
+        ),
+    ).withColumn("sf_len", F.length("surface").cast("long"))
+    if field_texts is not None:
+        ft = field_texts.select(
+            "doc_id", field_col,
+            F.size(F.split(F.trim(F.col(text_col)), "\\s+")).alias("_n_toks"),
+            (F.length(F.trim(F.col(text_col))) == 0).alias("_empty"),
+        )
+        out = out.join(ft, ["doc_id", field_col], "left").withColumn(
+            "sf_coverage",
+            F.when(
+                ~F.col("_empty") & (F.col("_n_toks") > 0),
+                (
+                    F.col("loc").getItem(1) - F.col("loc").getItem(0)
+                ).cast("double") / F.col("_n_toks"),
+            ),
+        ).drop("_n_toks", "_empty")
+    if surface_stats is not None:
+        ss = surface_stats.select(
+            "surface", F.col("tf").alias("_wtf"), F.col("lp").alias("_lp")
+        )
+        out = out.join(F.broadcast(ss), "surface", "left").withColumn(
+            "sf_lp",
+            F.when(F.col("_wtf") >= 10, F.col("_lp")).otherwise(F.lit(0.0)),
+        ).drop("_wtf", "_lp")
+    else:
+        out = out.withColumn("sf_lp", F.lit(0.0))
+    return out

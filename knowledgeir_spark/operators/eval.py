@@ -91,3 +91,73 @@ def mean_ndcg_err(per_query: DataFrame) -> DataFrame:
     return per_query.agg(
         F.avg("ndcg").alias("mean_ndcg"), F.avg("err").alias("mean_err")
     )
+
+
+def randomization_test(
+    per_query: DataFrame,
+    target_col: str = "target",
+    base_col: str = "base",
+    qid_col: str = "qid",
+    n_trials: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Paired randomization significance test + win/tie/loss
+    (/root/reference/knowledge4ir/result_collect/base.py:7-38).
+
+    p = fraction of sign-flip permutations whose mean difference exceeds the
+    observed one (strictly >, reference line 14).  Because both lists have
+    the same length, only the per-query delta d_i = target_i - base_i
+    matters: this_diff = mean(s_i * d_i) with s_i = ±1.  The reference flips
+    with random.randint; the engine derives the flip DETERMINISTICALLY from
+    md5(f"{seed}:{trial}:{qid}") bit 0 — portable to any engine (the same
+    trick as the MinHash oracle), so the test is reproducible and
+    SQL-mirrorable.  win/tie/loss compares round(x, 3) values (base.py:30-38;
+    Spark HALF_UP == Python 2 round for the non-negative metrics involved).
+
+    Input: one row per query (qid, target, base).  Output: ONE row
+    (p_value, win, tie, loss, mean_target, mean_base) — a tiny frame, but
+    the Monte-Carlo grid (n_queries x n_trials) is evaluated distributed.
+    """
+    spark = per_query.sparkSession
+    d = per_query.select(
+        F.col(qid_col).cast("string").alias("qid"),
+        (F.col(target_col) - F.col(base_col)).cast("double").alias("_d"),
+        F.col(target_col).cast("double").alias("_t"),
+        F.col(base_col).cast("double").alias("_b"),
+    )
+    obs = d.agg(
+        F.avg("_d").alias("diff"),
+        F.avg("_t").alias("mean_target"),
+        F.avg("_b").alias("mean_base"),
+        F.sum((F.round("_t", 3) > F.round("_b", 3)).cast("long")).alias("win"),
+        F.sum((F.round("_t", 3) == F.round("_b", 3)).cast("long")).alias("tie"),
+        F.sum((F.round("_t", 3) < F.round("_b", 3)).cast("long")).alias("loss"),
+    )
+    trials = spark.range(n_trials).select(F.col("id").alias("_trial"))
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col("_trial"), F.col("qid")
+                    ).cast("binary")
+                ),
+                1, 1,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    grid = d.crossJoin(trials).select(
+        "_trial", ((1 - 2 * flip) * F.col("_d")).alias("_sd")
+    )
+    per_trial = grid.groupBy("_trial").agg(F.avg("_sd").alias("_td"))
+    exceed = per_trial.crossJoin(F.broadcast(obs.select("diff"))).agg(
+        F.sum((F.col("_td") > F.col("diff")).cast("long")).alias("_cnt")
+    )
+    return (
+        obs.crossJoin(exceed)
+        .select(
+            (F.col("_cnt") / F.lit(float(n_trials))).alias("p_value"),
+            "win", "tie", "loss", "mean_target", "mean_base",
+        )
+    )

@@ -233,3 +233,116 @@ def boe_overlap(
         )
         .filter(F.col("n_overlap") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick spotter (E3 full version; round-1 shipped the greedy n-gram
+# scan only).  /root/reference/linker/spot/spotter.py:17-67 builds a
+# character-level automaton over LOWERCASED surface keys and emits every
+# occurrence of every key (overlaps allowed, no word-boundary check).  The
+# automaton is built once on the driver and broadcast; matching is O(chars)
+# per doc regardless of dictionary size — the right tool when the surface
+# dict is >> 10^6 entries (the greedy scan pays an n-gram dict lookup per
+# token position x per length).
+
+
+class AhoCorasick:
+    """Pure-Python Aho-Corasick (goto / fail / merged output links)."""
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, keyed_values):
+        from collections import deque
+
+        goto: list[dict] = [{}]
+        out: list[list] = [[]]
+        for key, val in keyed_values:
+            node = 0
+            for ch in key:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[node][ch] = nxt
+                node = nxt
+            out[node].append((key, val))
+        fail = [0] * len(goto)
+        q = deque()
+        for nxt in goto[0].values():
+            q.append(nxt)
+        while q:
+            r = q.popleft()
+            for ch, u in goto[r].items():
+                q.append(u)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                nf = goto[f].get(ch, 0)
+                fail[u] = 0 if nf == u else nf
+                out[u] = out[u] + out[fail[u]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def iter_matches(self, text: str):
+        """Yields (last_char_index, key, value) for every occurrence."""
+        node = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for i, ch in enumerate(text):
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                for key, val in out[node]:
+                    yield i, key, val
+
+
+def ac_spot_entities(
+    docs: DataFrame,
+    surface_candidates: dict[str, list[tuple[str, float]]],
+    max_candidate_per_surface: int = 5,
+    lowercase_text: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, spot) — every occurrence of every dictionary surface, char
+    offsets.  Quirk preserved from spotter.py:63-65: the reference computes
+    begin_index = end_index - len(key) where pyahocorasick's end_index is
+    the LAST character's index, so loc = [match_start - 1, last_char_index]
+    — off by one from the natural span, kept verbatim for parity (the
+    surface string itself is authoritative).  Keys are lowercased at build
+    (spotter.py:43); lowercase_text=True also lowers the text at match time
+    (the reference matches raw text against lowered keys, which silently
+    misses capitalized mentions — set False to reproduce that)."""
+    spark = docs.sparkSession
+    ac = AhoCorasick(
+        (
+            surface.lower(),
+            [(e, float(p)) for e, p in cands[:max_candidate_per_surface]],
+        )
+        for surface, cands in surface_candidates.items()
+    )
+    bc = spark.sparkContext.broadcast(ac)
+
+    def spot_one(text: str) -> list:
+        a = bc.value
+        t = (text or "")
+        if lowercase_text:
+            t = t.lower()
+        return [
+            {
+                "surface": key,
+                "loc": [end - len(key), end],
+                "entities": [{"id": e, "cmns": p} for e, p in val],
+            }
+            for end, key, val in a.iter_matches(t)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "spot": pdf[text_col].map(spot_one)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"doc_id long, spot {ANNOTATION_SCHEMA}"
+    )

@@ -739,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "fingerprint_pairs": q_fingerprint_pairs,
         "rp_lsh_ann": q_rp_lsh_ann,
+        "sig_test": q_sig_test,
+        "boe_emb_bins": q_boe_emb_bins,
     }
 
 
@@ -772,4 +774,193 @@ SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
 FROM g GROUP BY user_id ORDER BY user_id""",
         "fingerprint_pairs": _fingerprint_sql(),
         "rp_lsh_ann": _rp_lsh_sql(),
+        "sig_test": _sig_test_sql(),
+        "boe_emb_bins": _boe_emb_sql(),
     }
+
+
+# --------------------------------------------------------------------------
+# round-2 additions: randomization significance test + a LeToR family
+
+
+SIG_TRIALS = 400
+SIG_SEED = 7
+
+
+def q_sig_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 randomization significance test (result_collect/base.py:7-38) over
+    deterministic per-query metric pairs derived from doc_ids.  Deltas are
+    INTEGER-valued doubles so the permutation sums are exact in any engine
+    (no float-order sensitivity on the strict > comparison)."""
+    from .operators.eval import randomization_test
+
+    per_q = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .select(
+            F.col("doc_id").cast("string").alias("qid"),
+            ((F.col("doc_id") * 7) % 13).cast("double").alias("target"),
+            ((F.col("doc_id") * 5) % 11).cast("double").alias("base"),
+        )
+    )
+    out = randomization_test(per_q, n_trials=SIG_TRIALS, seed=SIG_SEED)
+    return out.select(
+        F.floor(F.col("p_value") * 1e6).cast("long").alias("p_e6"),
+        F.col("win").cast("long").alias("win"),
+        F.col("tie").cast("long").alias("tie"),
+        F.col("loss").cast("long").alias("loss"),
+    )
+
+
+def _sig_test_sql() -> str:
+    return f"""
+WITH dq AS (
+  SELECT doc_id::VARCHAR AS qid,
+         ((doc_id * 7) % 13)::DOUBLE AS t,
+         ((doc_id * 5) % 11)::DOUBLE AS b
+  FROM documents WHERE doc_id < 30
+),
+obs AS (
+  SELECT avg(t - b) AS diff,
+         sum((round(t, 3) > round(b, 3))::INT)::BIGINT AS win,
+         sum((round(t, 3) = round(b, 3))::INT)::BIGINT AS tie,
+         sum((round(t, 3) < round(b, 3))::INT)::BIGINT AS loss
+  FROM dq
+),
+trials AS (SELECT unnest(range(0, {SIG_TRIALS})) AS trial),
+grid AS (
+  SELECT trial,
+         CASE WHEN ('0x' || substr(md5('{SIG_SEED}:' || trial || ':' || qid), 1, 1))::BIGINT % 2 = 1
+              THEN -(t - b) ELSE (t - b) END AS sd
+  FROM dq, trials
+),
+pt AS (SELECT trial, avg(sd) AS td FROM grid GROUP BY trial),
+cnt AS (SELECT count(*) FILTER (WHERE pt.td > obs.diff)::BIGINT AS c FROM pt, obs)
+SELECT CAST(floor(c * 2500.0) AS BIGINT) AS p_e6, win, tie, loss
+FROM cnt, obs
+"""
+
+
+BOE_BINS = None  # set lazily from letor_families.form_bins
+
+
+def q_boe_emb_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoeEmb LeToR family (BoeEmb.py:94-139) under the DuckDB gate: doc
+    'entities' = terms with tf>=3 (deterministic pseudo-annotations), query
+    entities = the embedded query set's terms, entity embedding = the
+    embeddings table row at md5(term) % n_vectors.  Max/mean sim bins,
+    log-binned, one long-form feature row per (pair, pool, bin)."""
+    from .operators.letor_families import boe_emb_features, form_bins
+
+    dt = _doc_tf(spark, sf_dir)
+    d_ents = dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 40)).select(
+        "doc_id", F.lit("bodyText").alias("field"), F.col("term").alias("e")
+    )
+    q_rows = sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                     for t in text.lower().split()})
+    q_ents = spark.createDataFrame(q_rows, "qid string, e string")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    all_terms = d_ents.select("e").union(q_ents.select("e")).distinct()
+    ent_emb = (
+        all_terms.withColumn(
+            "vec_id",
+            F.conv(F.substring(F.md5(F.col("e").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % n_vec,
+        )
+        .join(emb, "vec_id")
+        .select("e", F.col("embedding").alias("vector"))
+    )
+    pairs = q_ents.select("qid").distinct().crossJoin(
+        d_ents.select("doc_id").distinct()
+    )
+    feats = boe_emb_features(
+        pairs, q_ents, d_ents, ent_emb,
+        bins=form_bins(6, 1.0), bin_func="log", pools=("max", "mean"),
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno", "feature")
+
+
+def _boe_emb_sql() -> str:
+    from .operators.letor_families import form_bins
+
+    bins = form_bins(6, 1.0)
+    case = "CASE " + " ".join(
+        f"WHEN s >= {b!r} THEN {i}" for i, b in enumerate(bins)
+    ) + " ELSE -1 END"
+    bins_vals = ", ".join(f"({i})" for i in range(len(bins)))
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+dents AS (SELECT doc_id, term AS e FROM tf WHERE tf >= 3 AND doc_id < 40),
+qents AS (SELECT DISTINCT qid, term AS e FROM q_raw),
+allt AS (SELECT DISTINCT e FROM (SELECT e FROM dents UNION SELECT e FROM qents)),
+nv AS (SELECT count(*) AS n FROM embeddings),
+ev AS (
+  SELECT a.e, emb.embedding
+  FROM allt a CROSS JOIN nv
+  JOIN embeddings emb
+    ON emb.vec_id = ('0x' || substr(md5(a.e), 1, 8))::BIGINT % nv.n
+),
+ex AS (
+  SELECT e, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM ev
+),
+norms AS (SELECT e, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY e),
+need AS (
+  SELECT DISTINCT q.e AS qe, d.e AS de FROM qents q CROSS JOIN dents d
+),
+dots AS (
+  SELECT n.qe, n.de, sum(a.x * b.x) AS dot
+  FROM need n JOIN ex a ON a.e = n.qe JOIN ex b ON b.e = n.de AND b.i = a.i
+  GROUP BY n.qe, n.de
+),
+vecs AS (SELECT e, embedding FROM ev),
+cosv AS (
+  SELECT d.qe, d.de,
+         CASE WHEN vq.embedding = vd.embedding THEN 1.0
+              ELSE d.dot / (nq.nrm * nd.nrm) END AS cos
+  FROM dots d
+  JOIN norms nq ON nq.e = d.qe JOIN norms nd ON nd.e = d.de
+  JOIN vecs vq ON vq.e = d.qe JOIN vecs vd ON vd.e = d.de
+),
+persim AS (
+  SELECT q.qid, dd.doc_id, dd.e,
+         max(c.cos) AS sim_max, avg(c.cos) AS sim_mean
+  FROM qents q
+  JOIN cosv c ON c.qe = q.e
+  JOIN dents dd ON dd.e = c.de
+  GROUP BY q.qid, dd.doc_id, dd.e
+),
+stacked AS (
+  SELECT qid, doc_id, 'Max' AS pool, sim_max AS s FROM persim
+  UNION ALL
+  SELECT qid, doc_id, 'Mean' AS pool, sim_mean AS s FROM persim
+),
+binned AS (
+  SELECT qid, doc_id, pool, {case} AS b FROM stacked
+),
+counts AS (
+  SELECT qid, doc_id, pool, b, count(*)::DOUBLE AS cnt
+  FROM binned WHERE b >= 0 GROUP BY qid, doc_id, pool, b
+),
+template AS (
+  SELECT DISTINCT s.qid, s.doc_id, s.pool, bb.b
+  FROM stacked s CROSS JOIN (VALUES {bins_vals}) bb(b)
+),
+dense AS (
+  SELECT t.qid, t.doc_id, t.pool, t.b, coalesce(c.cnt, 0.0) AS cnt
+  FROM template t
+  LEFT JOIN counts c
+    ON c.qid = t.qid AND c.doc_id = t.doc_id AND c.pool = t.pool AND c.b = t.b
+)
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
+       'BoeEmb_Bodytext_' || pool || 'Bin_' || b AS feature,
+       CAST(floor(ln(greatest(cnt, 1e-10)) * 1e6) AS BIGINT) AS value_e6
+FROM dense
+ORDER BY qid, docno, feature
+"""

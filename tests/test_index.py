@@ -121,3 +121,118 @@ def test_config_change_recomputes(spark, built, tmp_path_factory):
         spark, built["docs"], built["idx_dir"], CFG, input_token="OTHER"
     )
     assert not any(r.skipped for r in res.values())
+
+
+def test_bmw_serving_rank_identical(spark, built, queries_pdf):
+    """Decode-level block-max WAND (serving path) == oracle == the
+    decode-everything scorer, including exact quantized-score ties, and it
+    actually skips decode work on head-term queries."""
+    from knowledgeir_spark.index.query import _score_group_bmw
+
+    rd = IndexReader(spark, built["idx_dir"])
+    o = built["oracle"]
+    queries = [(r.qid, r.query) for r in queries_pdf.itertuples()]
+    # block_size=16 over 300 docs -> head terms span many blocks, so the
+    # _BMW_MIN_BLOCKS gate engages for every multi-term query here
+    rows = rd.search_local(queries, k=20, model="bm25", prune=True)
+    got: dict[str, list] = {}
+    for qid, doc_id, score, rank in rows:
+        got.setdefault(qid, []).append((rank, doc_id, score))
+    for qid, qtext in queries:
+        expected = o.topk(qtext, k=20, model="bm25")
+        have = sorted(got.get(str(qid), []))
+        assert len(have) == len(expected), f"qid={qid}"
+        for (rank, doc_id, score), (edoc, escore) in zip(have, expected):
+            assert doc_id == edoc, f"qid={qid} rank={rank}"
+            assert score == pytest.approx(escore, abs=1e-6)
+
+
+def test_bmw_skips_block_decodes():
+    """The WAND path must decode only a small fraction of a head term's
+    blocks once a selective term sets the threshold — and still return
+    exactly what the decode-everything scorer returns."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    # head term "mid": 20k postings (tf=1, dl=20) in 128-posting blocks
+    mid_docs = np.arange(0, 40000, 2, dtype=np.uint64)
+    for bi, s in enumerate(range(0, len(mid_docs), 128)):
+        ids = mid_docs[s:s + 128]
+        blk = encode_block(ids, np.ones(len(ids)), np.full(len(ids), 20))
+        blk.update(term="mid", qid="1")
+        rows.append(blk)
+    # selective term "rare": 10 high-tf short docs (rare-only, no overlap)
+    rare_docs = np.arange(1, 20001, 2000, dtype=np.uint64)
+    blk = encode_block(rare_docs, np.full(10, 5), np.full(10, 10))
+    blk.update(term="rare", qid="1")
+    rows.append(blk)
+    pdf = pd.DataFrame(rows)
+
+    q_terms = {"1": [
+        {"term": "rare", "term_idx": 0, "q_tf": 1, "df": 10.0},
+        {"term": "mid", "term_idx": 1, "q_tf": 1, "df": 20000.0},
+    ]}
+    n, avgdl, k = 100000.0, 20.0, 5
+
+    n_decoded = {"n": 0}
+    orig = Q.decode_payload
+
+    def counting(*a, **kw):
+        n_decoded["n"] += 1
+        return orig(*a, **kw)
+
+    Q.decode_payload = counting
+    try:
+        res = Q._score_group_bmw(pdf, q_terms, n, avgdl, k, "varint",
+                                 init_batch=16)
+    finally:
+        Q.decode_payload = orig
+    decoded_blocks = n_decoded["n"] / 3  # 3 payloads per block
+    assert decoded_blocks < len(pdf) * 0.2, (decoded_blocks, len(pdf))
+
+    brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+    assert list(res["doc_id"]) == list(brute["doc_id"])
+    assert np.allclose(res["score"], brute["score"])
+
+
+def test_dense_scorer_matches_union_scorer():
+    """Dense-accumulator serving scorer == decode-everything scorer on a
+    synthetic corpus, including (a) zero-idf head terms (df > N/2: skipped
+    for scoring, lazily decoded for candidacy) and (b) the all-ties case
+    where k exceeds the positive-score docs so zero-score candidates fill
+    the tail in doc_id order."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    # "head": df 700 of N=1000 -> idf clamps to 0
+    head_docs = np.arange(0, 700, dtype=np.uint64)
+    for s in range(0, 700, 128):
+        ids = head_docs[s:s + 128]
+        blk = encode_block(ids, np.ones(len(ids)), np.full(len(ids), 15))
+        blk.update(term="head", qid="1")
+        rows.append(blk)
+    # "rare": 7 docs, positive idf
+    rare_docs = np.array([5, 100, 333, 334, 500, 650, 800], dtype=np.uint64)
+    blk = encode_block(rare_docs, np.array([2, 1, 3, 1, 1, 2, 1]),
+                       np.array([10, 20, 15, 15, 30, 10, 25]))
+    blk.update(term="rare", qid="1")
+    rows.append(blk)
+    pdf = pd.DataFrame(rows)
+    q_terms = {"1": [
+        {"term": "head", "term_idx": 0, "q_tf": 1, "df": 700.0},
+        {"term": "rare", "term_idx": 1, "q_tf": 1, "df": 7.0},
+    ]}
+    n, avgdl = 1000.0, 18.0
+    for k in (5, 7, 50):  # 50 > positive-score docs -> zero-tie fallback
+        dense = Q._score_group_dense(pdf, q_terms, n, avgdl, k, "varint", 1000)
+        brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+        assert list(dense["doc_id"]) == list(brute["doc_id"]), k
+        assert np.allclose(dense["score"], brute["score"]), k

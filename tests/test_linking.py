@@ -85,3 +85,63 @@ def test_boe_overlap(spark):
     assert got[("1", 10)] == (1, 0.5)
     assert got[("1", 11)] == (2, 1.0)
     assert ("2", 12) not in got and ("1", 12) not in got
+
+
+def test_ac_spotter_matches_bruteforce(spark):
+    """Aho-Corasick spotter == re.finditer brute force over every surface,
+    including overlaps, duplicates and the reference's loc quirk
+    (spotter.py:63-65: begin = last_char_index - len(key))."""
+    import re
+
+    from knowledgeir_spark.operators.linking import ac_spot_entities
+
+    sf = {
+        "spark": [("E:spark", 0.9)],
+        "park": [("E:park", 0.5), ("E:park2", 0.3)],
+        "data lake": [("E:dl", 1.0)],
+        "lake": [("E:lake", 0.8)],
+        "a": [("E:a", 0.1)],
+    }
+    docs = spark.createDataFrame(
+        [(0, "Spark over the data lake in a park"),
+         (1, "aaa"), (2, ""), (3, "nothing matches here?? qqq")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["spot"] for r in ac_spot_entities(docs, sf).collect()}
+    for doc_id, text in [(0, "Spark over the data lake in a park"),
+                         (1, "aaa"), (2, ""), (3, "nothing matches here?? qqq")]:
+        t = text.lower()
+        expected = sorted(
+            (m.start() + len(k) - 1, k)
+            for k in sf for m in re.finditer(re.escape(k), t)
+        )
+        have = sorted(
+            (a["loc"][1], a["surface"]) for a in got[doc_id]
+        )
+        assert have == expected, doc_id
+        for a in got[doc_id]:
+            # loc quirk: [last_idx - len(key), last_idx]
+            assert a["loc"][0] == a["loc"][1] - len(a["surface"])
+            assert [e["id"] for e in a["entities"]] == [x[0] for x in sf[a["surface"]]]
+
+
+def test_ac_spotter_scales_to_large_dict(spark):
+    """>=10^5 surfaces: automaton build + spotting stays fast (the greedy
+    n-gram scan is the small-dict path; this is the big-dict one)."""
+    import time
+
+    from knowledgeir_spark.operators.linking import ac_spot_entities
+
+    sf = {f"entity{i:06d} phrase": [(f"E{i}", 1.0)] for i in range(100_000)}
+    sf["needle in haystack"] = [("E:needle", 1.0)]
+    text = ("filler words " * 200) + "the needle in haystack appears " + (
+        "entity000042 phrase also " * 2)
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(20)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    rows = {r["doc_id"]: r["spot"] for r in ac_spot_entities(docs, sf).collect()}
+    elapsed = time.monotonic() - t0
+    surfaces = {a["surface"] for a in rows[0]}
+    assert {"needle in haystack", "entity000042 phrase"} <= surfaces
+    assert elapsed < 120, elapsed

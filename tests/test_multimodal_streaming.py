@@ -117,3 +117,37 @@ def test_windowed_event_counts(spark, tmp_path):
             for r in spark.sql("select * from wincounts").collect()}
     assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert rows[("2024-01-01 00:05:00", "view")] == (1, 5.0)
+
+
+def test_pil_decode_and_resize(spark):
+    """Real-image decode/resize through Pillow — runs wherever PIL is
+    installed, skipped in containers without it (the FAKE-format tests
+    above cover the Spark plumbing either way)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from knowledgeir_spark.multimodal.binaryops import decode_media, resize_images
+
+    def png_bytes(w, h, color):
+        img = Image.new("RGB", (w, h), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "image", png_bytes(32, 20, (255, 0, 0)), {}),
+         (2, "image", png_bytes(8, 8, (0, 255, 0)), {})],
+        "media_id long, kind string, data binary, meta map<string,string>",
+    )
+    decoded = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert decoded[1]["kind"] == "IMAGE"
+    assert (decoded[1]["dim_a"], decoded[1]["dim_b"]) == (32, 20)
+    assert (decoded[2]["dim_a"], decoded[2]["dim_b"]) == (8, 8)
+
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in resize_images(media, 16, 16).collect()}
+    for mid, data in resized.items():
+        with Image.open(io.BytesIO(data)) as img:
+            assert img.size == (16, 16), mid

@@ -70,6 +70,7 @@ def test_all_queries_have_oracles(entry_mod):
     "minhash_pairs", "simhash_docs", "embedding_topk", "quality_features",
     "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
     "bm25_topk_indexed", "user_sessions", "fingerprint_pairs", "rp_lsh_ann",
+    "sig_test", "boe_emb_bins",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]

@@ -108,3 +108,55 @@ def test_score_tie_docno_desc_quirk(spark):
     got = ndcg_err_at_k(ranking, qrels_df, k=1).collect()[0]
     # docno desc -> 'b' ranked first -> perfect ndcg at k=1
     assert got["ndcg"] == pytest.approx(1.0)
+
+
+def test_randomization_test_matches_oracle(spark):
+    """Engine randomization test == pure-Python replay of
+    result_collect/base.py:7-38 with the same md5-derived flips."""
+    import hashlib
+
+    from knowledgeir_spark.operators.eval import randomization_test
+
+    rows = [(str(q), float((q * 7) % 13) / 13 + (0.3 if q % 4 == 0 else 0.0),
+             float((q * 5) % 11) / 11) for q in range(1, 31)]
+    df = spark.createDataFrame(rows, "qid string, target double, base double")
+    got = randomization_test(df, n_trials=500, seed=7).collect()[0]
+
+    deltas = {qid: t - b for qid, t, b in rows}
+    diff = sum(deltas.values()) / len(deltas)
+    cnt = 0
+    for trial in range(500):
+        s = 0.0
+        for qid, d in deltas.items():
+            h = hashlib.md5(f"7:{trial}:{qid}".encode()).hexdigest()
+            flip = int(h[0], 16) % 2
+            s += -d if flip else d
+        if s / len(deltas) > diff:
+            cnt += 1
+    win = sum(1 for _, t, b in rows if round(t, 3) > round(b, 3))
+    tie = sum(1 for _, t, b in rows if round(t, 3) == round(b, 3))
+    loss = sum(1 for _, t, b in rows if round(t, 3) < round(b, 3))
+    assert got["p_value"] == pytest.approx(cnt / 500)
+    assert (got["win"], got["tie"], got["loss"]) == (win, tie, loss)
+    assert got["mean_target"] == pytest.approx(
+        sum(t for _, t, _ in rows) / len(rows))
+
+
+def test_randomization_test_detects_signal(spark):
+    """A target uniformly above base must be significant; identical lists
+    must not (p ~= fraction of permutations strictly above 0 ~= large)."""
+    from knowledgeir_spark.operators.eval import randomization_test
+
+    strong = spark.createDataFrame(
+        [(str(q), 0.8 + (q % 3) * 0.01, 0.2 + (q % 5) * 0.01)
+         for q in range(40)],
+        "qid string, target double, base double",
+    )
+    r = randomization_test(strong, n_trials=400, seed=1).collect()[0]
+    assert r["p_value"] < 0.05 and r["win"] == 40
+    same = spark.createDataFrame(
+        [(str(q), 0.5, 0.5) for q in range(10)],
+        "qid string, target double, base double",
+    )
+    r2 = randomization_test(same, n_trials=200, seed=1).collect()[0]
+    assert r2["p_value"] == 0.0 and r2["tie"] == 10  # all diffs 0, never >

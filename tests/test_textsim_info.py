@@ -117,3 +117,44 @@ def test_kfold_and_shuffle(spark):
     b = [tuple(r) for r in shuffle_stable_sort(d2, seed=1).collect()]
     assert a == b  # deterministic given seed
     assert [r[0] for r in a] == sorted([r[0] for r in rows], key=int)
+
+
+def test_surface_stat_features_match_boe_oracle(spark):
+    """F17 completion vs boe.py:77-136 semantics: cmns prior (first
+    candidate), coverage ((ed-st)/len(text.split())), surface length, and
+    tf>=10-gated wiki link probability."""
+    from knowledgeir_spark.operators.duet_features import surface_stat_features
+
+    anns = spark.createDataFrame(
+        [
+            (0, "bodyText", "barack obama", [3, 5],
+             [("e1", 0.9), ("e2", 0.1)]),
+            (0, "bodyText", "senate", [9, 10], [("e3", 1.0)]),
+            (1, "bodyText", "rare phrase", [0, 2], []),
+        ],
+        "doc_id long, field string, surface string, loc array<int>, "
+        "entities array<struct<id:string, cmns:double>>",
+    )
+    texts = spark.createDataFrame(
+        [(0, "bodyText", "w1 w2 w3 barack obama w6 w7 w8 w9 in w11 w12"),
+         (1, "bodyText", "   ")],
+        "doc_id long, field string, text string",
+    )
+    stats = spark.createDataFrame(
+        [("barack obama", 120, 0.43), ("senate", 4, 0.9)],
+        "surface string, tf long, lp double",
+    )
+    got = {(r["doc_id"], r["surface"]): r
+           for r in surface_stat_features(anns, texts, stats).collect()}
+    r = got[(0, "barack obama")]
+    assert r["cmns_prior"] == pytest.approx(0.9)
+    assert r["sf_len"] == 12
+    assert r["sf_coverage"] == pytest.approx((5 - 3) / 12)
+    assert r["sf_lp"] == pytest.approx(0.43)  # tf 120 >= 10
+    r = got[(0, "senate")]
+    assert r["cmns_prior"] == pytest.approx(1.0)
+    assert r["sf_lp"] == 0.0  # tf 4 < 10 gate (boe.py:131)
+    r = got[(1, "rare phrase")]
+    assert r["cmns_prior"] == 0.0  # empty candidate list
+    assert r["sf_coverage"] is None  # empty field text (ref would crash)
+    assert r["sf_lp"] == 0.0  # surface absent from stats
