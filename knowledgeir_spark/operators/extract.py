@@ -108,3 +108,27 @@ def extract_features(
     else:
         out = out.select("qid", "docno", F.lit(0).alias("label"), "features")
     return out
+
+
+def add_family_features(features_df: DataFrame, long_feats: DataFrame) -> DataFrame:
+    """Extractor-center composition (extractor.py:61-70 merges each
+    registered family's h_feature dict into one map): merge long-form
+    family features (qid, docno, feature, value — letor_families output)
+    into the (qid, docno, label, features) frame.  Family feature names are
+    prefix-disjoint by construction; a collision raises (Spark map_concat
+    duplicate-key policy), which is the correct loud failure."""
+    from .letor_families import features_to_map
+
+    fam = features_to_map(long_feats).withColumnRenamed("features", "_ff")
+    return (
+        features_df.join(fam, ["qid", "docno"], "left")
+        .select(
+            "qid", "docno", "label",
+            F.map_concat(
+                "features",
+                F.coalesce(
+                    "_ff", F.create_map().cast("map<string,double>")
+                ),
+            ).alias("features"),
+        )
+    )

@@ -36,16 +36,43 @@ ANNOTATION_SCHEMA = (
 )
 
 
+# WordNet morphy noun detachment rules (T8 approximation: the reference
+# lemmatizes candidate phrases with WordNetLemmatizer noun mode,
+# cmns.py:115-120; without the WordNet lexicon the engine applies morphy's
+# suffix-detachment rules unconditionally — identical on regular plurals,
+# may over-strip rare irregulars, documented deviation)
+_MORPHY_NOUN_RULES = (
+    ("ches", "ch"), ("shes", "sh"), ("xes", "x"), ("zes", "z"),
+    ("ses", "s"), ("ies", "y"), ("men", "man"), ("s", ""),
+)
+
+
+def lemma_noun_simple(term: str) -> str:
+    for suf, rep in _MORPHY_NOUN_RULES:
+        if term.endswith(suf) and len(term) > len(suf):
+            return term[: -len(suf)] + rep
+    return term
+
+
+def _phrase_stem(phrase: str) -> str:
+    """cmns.py:115-120 per-term noun lemmatization of a phrase."""
+    return " ".join(lemma_noun_simple(t) for t in phrase.split())
+
+
 def cmns_link(
     docs: DataFrame,
     surface_form: dict[str, str],
     max_surface_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stemming: bool = False,
 ) -> DataFrame:
     """(doc_id, annotations array<struct<id, char_st, char_ed, surface>>).
     surface_form: {surface -> entity id} (case-sensitive keys, like the
-    reference's read_surface_form)."""
+    reference's read_surface_form).  stemming=True additionally tries the
+    noun-lemmatized phrase when the raw variants miss (cmns.py:97-106);
+    reference quirks preserved: the annotation's surface is the STEMMED
+    phrase, but its char_ed spans the ORIGINAL phrase's length."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(surface_form)
 
@@ -73,6 +100,21 @@ def cmns_link(
                         offset += len(this_phrase) + 1
                         matched = True
                         break
+                    if stemming:
+                        stemmed = _phrase_stem(this_phrase)
+                        if stemmed in h:
+                            out.append(
+                                {
+                                    "id": h[stemmed],
+                                    "char_st": offset,
+                                    "char_ed": offset + len(this_phrase),
+                                    "surface": stemmed,
+                                }
+                            )
+                            st += max_surface_len - ed
+                            offset += len(this_phrase) + 1
+                            matched = True
+                            break
                 if matched:
                     break
             if not matched:

@@ -102,3 +102,78 @@ def test_full_pipeline_to_svm(spark, setup, tmp_path):
     # '0_basescore' densifies to feature id 1 ('base' first quirk, A11)
     row = back.collect()[0]
     assert "1" in row["features"]
+
+
+def test_es_term_stat_scores_match_oracle(spark, setup):
+    """ES-term-vector TermStat variant (base.py:272-313): q_tf forced to 1,
+    df from the prefetch table (per-qid, may disagree with corpus df),
+    zero-overlap candidates smoothed — vs OracleScorer with the same
+    inputs."""
+    from knowledgeir_spark.operators.es_stats import es_all_scores
+
+    o = setup["oracle"]
+    q_pdf = setup["queries_pdf"]
+    # prefetched per-query df: corpus df PERTURBED per qid (ES shard
+    # approximation), unseen terms absent -> 0
+    q_df_rows = []
+    df_py: dict[tuple[str, str], float] = {}
+    for i, q in enumerate(q_pdf.itertuples()):
+        for t in set(query_lm(q.query)):
+            if t in o.df:
+                v = float(o.df[t] + (i % 3))
+                q_df_rows.append((q.qid, t, v))
+                df_py[(q.qid, t)] = v
+    q_df = spark.createDataFrame(q_df_rows, "qid string, term string, df double")
+    cands = spark.createDataFrame(
+        [(q.qid, d) for q in q_pdf.itertuples() for d in (0, 3, 7, 10_000_000)],
+        "qid string, doc_id long",
+    )
+    out = es_all_scores(
+        setup["queries"], setup["dt"], q_df,
+        setup["fs"].total_df, setup["fs"].avg_doc_len, candidates=cands,
+    ).collect()
+    by_pair = {(r["qid"], r["doc_id"]): r for r in out}
+    models = ("lm", "lm_dir", "lm_jm", "lm_twoway", "bm25", "coordinate",
+              "tf_idf", "bool_and", "bool_or")
+    n = 0
+    for q in q_pdf.itertuples():
+        h_q = {t: 1 for t in query_lm(q.query)}  # presence vector
+        h_df = {t: df_py.get((q.qid, t), 0.0) for t in h_q}
+        for d in (0, 3, 7, 10_000_000):
+            scorer = OracleScorer(
+                h_q, o.doc_lms.get(d, {}), h_df,
+                setup["fs"].total_df, setup["fs"].avg_doc_len,
+            )
+            expected = scorer.all_scores()
+            r = by_pair[(q.qid, d)]
+            for m in models:
+                assert r[m] == pytest.approx(expected[m], abs=1e-9), (q.qid, d, m)
+                n += 1
+    assert n > 150
+
+
+def test_add_family_features_composes(spark, setup):
+    """IRFusion map + a family's long-form features merge into one map
+    (the extractor-center shape); pairs without family rows keep the base
+    map unchanged."""
+    from knowledgeir_spark.operators.extract import add_family_features
+
+    cands = spark.createDataFrame(
+        [("1", 0), ("1", 3)], "qid string, doc_id long"
+    )
+    base = extract_features(
+        setup["queries"], cands, setup["dt"], setup["ts"],
+        setup["fs"].total_df, setup["fs"].avg_doc_len,
+    )
+    fam_long = spark.createDataFrame(
+        [("1", "0", "BoeEmb_Bodytext_MaxBin_0", -23.02),
+         ("1", "0", "PageRank_bodyText_S1_mean", 0.5)],
+        "qid string, docno string, feature string, value double",
+    )
+    rows = {r["docno"]: r["features"]
+            for r in add_family_features(base, fam_long).collect()}
+    assert rows["0"]["BoeEmb_Bodytext_MaxBin_0"] == -23.02
+    assert rows["0"]["PageRank_bodyText_S1_mean"] == 0.5
+    assert "ir_bm25" in rows["0"] and "0_basescore" in rows["0"]
+    assert "BoeEmb_Bodytext_MaxBin_0" not in rows["3"]
+    assert "ir_bm25" in rows["3"]

@@ -145,3 +145,39 @@ def test_ac_spotter_scales_to_large_dict(spark):
     surfaces = {a["surface"] for a in rows[0]}
     assert {"needle in haystack", "entity000042 phrase"} <= surfaces
     assert elapsed < 120, elapsed
+
+
+def test_cmns_stemming_variant(spark):
+    """cmns.py:97-120 stemming branch: plural surfaces fold to the dict's
+    singular via morphy noun rules; quirks preserved (surface = stemmed
+    phrase, char_ed spans the ORIGINAL phrase; raw variants tried first)."""
+    from knowledgeir_spark.operators.linking import cmns_link, lemma_noun_simple
+
+    assert lemma_noun_simple("cities") == "city"
+    assert lemma_noun_simple("boxes") == "box"
+    assert lemma_noun_simple("churches") == "church"
+    assert lemma_noun_simple("glasses") == "glass"
+    assert lemma_noun_simple("women") == "woman"  # -men -> -man
+    assert lemma_noun_simple("dogs") == "dog"
+    assert lemma_noun_simple("s") == "s"  # too short to strip
+
+    sf = {"new york city": "E:nyc", "dog": "E:dog", "dogs": "E:dogs"}
+    docs = spark.createDataFrame(
+        [(0, "the new york cities dogs bark"), (1, "dog runs")],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"]: r["annotations"]
+             for r in cmns_link(docs, sf, stemming=False).collect()}
+    stemmed = {r["doc_id"]: r["annotations"]
+               for r in cmns_link(docs, sf, stemming=True).collect()}
+    # without stemming: only the exact-form 'dogs' matches in doc 0
+    assert [a["id"] for a in plain[0]] == ["E:dogs"]
+    # with stemming: 'new york cities' folds to the dict surface; raw
+    # variants come first so 'dogs' still hits its own exact entry
+    ids = [a["id"] for a in stemmed[0]]
+    assert ids == ["E:nyc", "E:dogs"]
+    nyc = stemmed[0][0]
+    assert nyc["surface"] == "new york city"  # stemmed surface recorded
+    # char_ed spans the ORIGINAL 'new york cities' (reference quirk)
+    assert nyc["char_ed"] - nyc["char_st"] == len("new york cities")
+    assert [a["id"] for a in stemmed[1]] == ["E:dog"]

@@ -151,3 +151,52 @@ def test_pil_decode_and_resize(spark):
     for mid, data in resized.items():
         with Image.open(io.BytesIO(data)) as img:
             assert img.size == (16, 16), mid
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over the real events table ==
+    the batch lag/cumsum user_sessions parity query, exactly, and state
+    carries correctly across micro-batches (two-part arrival)."""
+    from knowledgeir_spark.parity_ext import q_user_sessions
+    from knowledgeir_spark.streaming.sessions import sessionize_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_user_sessions(spark, sf_dir).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "evstream")
+    # two files = at least two input splits; per-user event-time order is
+    # preserved by splitting on time, the monotone-source assumption
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.parity import _pin_utc
+
+    _pin_utc(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    cut = ev.agg(F.expr(
+        "percentile(unix_micros(cast(ts as timestamp_ltz)), 0.5)"
+    )).first()[0]
+    ev.filter(us <= cut).coalesce(1).write.parquet(src + "/p1")
+    ev.filter(us > cut).coalesce(1).write.parquet(src + "/p2")
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(src + "/p*")
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory").queryName("sessions").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode appends one row per (user, batch); the LAST one is final
+    rows = spark.sql(
+        "select user_id, n_sessions, n_events from sessions"
+    ).collect()
+    final: dict = {}
+    for r in rows:  # memory sink preserves batch order; later wins
+        final[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    assert final == expected

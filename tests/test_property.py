@@ -112,3 +112,55 @@ def test_pruned_index_on_tie_heavy_corpus(spark, tmp_path):
             have = [(r["rank"], r["doc_id"]) for r in ranked.collect()]
             expected = [(i + 1, d) for i, (d, _) in enumerate(o.topk(query, k=20))]
             assert sorted(have) == expected, (query, prune)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(0, 2**31 - 1))
+def test_serving_scorers_match_oracle_random(spark, tmp_path_factory, seed):
+    """Random corpora: BOTH serving scorers (dense accumulator and
+    decode-level BMW) == oracle on every query, including tie-heavy and
+    zero-idf-term cases (vocab of 12 over 120 docs makes df > N/2 common)."""
+    from knowledgeir_spark.index.build import IndexConfig, build_index
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.query import IndexReader
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 25)).tolist()))
+        for i in range(120)
+    ]
+    queries = [
+        (str(j + 1), " ".join(rng.choice(vocab, size=rng.integers(1, 4)).tolist()))
+        for j in range(4)
+    ]
+    sdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("propidx"))
+    build_index(
+        spark, sdocs, idx,
+        IndexConfig(block_size=8, salt_range=32, n_buckets=4), f"prop{seed}",
+    )
+    reader = IndexReader(spark, idx)
+    o = OracleIndex(docs)
+
+    def check(rows, tag):
+        got: dict[str, list] = {}
+        for qid, doc_id, score, rank in rows:
+            got.setdefault(qid, []).append((rank, doc_id, score))
+        for qid, qtext in queries:
+            expected = o.topk(qtext, k=15)
+            have = sorted(got.get(qid, []))
+            assert [d for _, d, _ in have] == [d for d, _ in expected], \
+                (tag, seed, qtext)
+            for (_, d, s), (_, es) in zip(have, expected):
+                assert s == pytest.approx(es, abs=1e-6), (tag, seed, qtext, d)
+
+    # dense path (default routing at this id-space size)
+    check(reader.search_local(queries, k=15), "dense")
+    # force the BMW path by shrinking the dense ceiling
+    old = IndexReader._DENSE_MAX_DOCS, Q._BMW_MIN_BLOCKS
+    IndexReader._DENSE_MAX_DOCS, Q._BMW_MIN_BLOCKS = 0, 1
+    try:
+        check(reader.search_local(queries, k=15), "bmw")
+    finally:
+        IndexReader._DENSE_MAX_DOCS, Q._BMW_MIN_BLOCKS = old
