@@ -161,3 +161,43 @@ def randomization_test(
             "win", "tie", "loss", "mean_target", "mean_base",
         )
     )
+
+
+def ranking_overview(
+    per_q_runs: dict[str, DataFrame],
+    baseline: str,
+    metrics: tuple[str, ...] = ("ndcg", "err"),
+    n_trials: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """L5 result table (reference result_collect/overall_ranking_evaluation.py):
+    per (run, metric): mean over topics, win/tie/loss vs the baseline, and
+    the randomization-test p-value — the overview table every reference
+    evaluation run produces (LaTeX rendering with significance daggers is
+    reporting, out of engine scope; this IS the table's data).
+
+    per_q_runs: {run_name: DataFrame(qid, <metric columns>)} — e.g.
+    ndcg_err_at_k outputs.  Output: (run, metric, mean, win, tie, loss,
+    p_value), baseline rows carry win/tie/loss/p vs itself (all-tie, p=0)."""
+    base = per_q_runs[baseline]
+    parts = []
+    for run_name, df in per_q_runs.items():
+        for metric in metrics:
+            paired = df.select(
+                "qid", F.col(metric).alias("target")
+            ).join(
+                base.select("qid", F.col(metric).alias("base")), "qid"
+            )
+            r = randomization_test(
+                paired, n_trials=n_trials, seed=seed
+            ).select(
+                F.lit(run_name).alias("run"),
+                F.lit(metric).alias("metric"),
+                F.col("mean_target").alias("mean"),
+                "win", "tie", "loss", "p_value",
+            )
+            parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
