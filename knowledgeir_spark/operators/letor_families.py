@@ -242,7 +242,6 @@ def _entity_sims(
         F.max("sim").alias("sim_max"),
         F.avg("sim").alias("sim_mean"),
         F.first("_w").alias("weight"),
-        F.count("*").alias("_nq"),
     )
 
 

@@ -61,3 +61,48 @@ def test_truncated_stream_raises():
     data = varint_encode(np.array([1, 2, 3], dtype=np.uint64))
     with pytest.raises(ValueError):
         varint_decode(data, 4)
+
+
+def test_vectorized_builder_byte_identical_to_per_block(spark, webpages_pdf):
+    """The whole-partition vectorized varint encoder must produce
+    byte-identical block rows to the per-block reference path (same order,
+    same payloads, same stats) — it is a pure hot-loop rewrite."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.functions.text import doc_terms
+    from knowledgeir_spark.index.build import _make_block_builder
+    from knowledgeir_spark.index.codec import encode_block
+
+    pdf_src = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf_src[["doc_id", "text"]])
+    pdf = (
+        doc_terms(docs)
+        .withColumn("salt", (F.col("doc_id") / 64).cast("long"))
+        .withColumn("bucket", F.lit(3))
+        .orderBy("term", "salt", "doc_id")
+        .toPandas()
+    )
+    fast = pd.concat(list(_make_block_builder(16, "varint")(iter([pdf]))))
+    rows = []
+    for (term, salt, bucket), g in pdf.groupby(
+        ["term", "salt", "bucket"], sort=False
+    ):
+        ids = g["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        tfs = g["tf"].to_numpy(np.int64).astype(np.uint64)
+        dls = g["doc_len"].to_numpy(np.int64).astype(np.uint64)
+        for bi, start in enumerate(range(0, len(ids), 16)):
+            blk = encode_block(
+                ids[start:start + 16], tfs[start:start + 16],
+                dls[start:start + 16],
+            )
+            blk.update(term=term, salt=int(salt), bucket=3, block_id=bi)
+            rows.append(blk)
+    slow = pd.DataFrame(rows)[list(fast.columns)]
+    assert len(fast) == len(slow) > 50
+    for c in fast.columns:
+        a, b = fast[c].tolist(), slow[c].tolist()
+        if c in ("doc_id_deltas", "tfs", "doc_lens"):
+            a, b = [bytes(x) for x in a], [bytes(x) for x in b]
+        assert a == b, c

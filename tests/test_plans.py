@@ -84,3 +84,48 @@ def test_semi_join_for_candidate_filter(spark):
 
     plan = _plan(q_customers_without_orders(spark, "/root/testdata/sf0.001"))
     assert "LeftAnti" in plan, plan
+
+
+def test_family_embedding_joins_broadcast(spark):
+    """The LeToR embedding families must broadcast the entity-embedding
+    dimension table on BOTH sides of the sim join (never shuffle the fact
+    side on entity id) — the property that keeps them linear at corpus
+    scale."""
+    from knowledgeir_spark.operators.letor_families import (
+        boe_emb_features,
+        form_bins,
+    )
+
+    pairs = spark.createDataFrame([("1", 0)], "qid string, doc_id long")
+    q_ents = spark.createDataFrame([("1", "e0")], "qid string, e string")
+    doc_ents = spark.createDataFrame(
+        [(0, "bodyText", "e1")], "doc_id long, field string, e string"
+    )
+    emb = spark.createDataFrame(
+        [("e0", [1.0, 0.0]), ("e1", [0.0, 1.0])],
+        "e string, vector array<float>",
+    )
+    plan = _plan(
+        boe_emb_features(pairs, q_ents, doc_ents, emb, bins=form_bins(3))
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dedup_candidate_join_is_bucketed(spark):
+    """LSH candidate generation must join on (band, sig) — the bucket — not
+    produce a cartesian/broadcast-nested-loop over docs."""
+    from knowledgeir_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i} delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(
+        lsh_candidate_pairs(minhash_signatures(doc_shingles(docs, k=2)))
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
