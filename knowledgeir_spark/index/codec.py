@@ -12,9 +12,11 @@ Vectorization: per-value byte lengths are computed from bit_length, output
 offsets by cumsum, and all bytes written via flat numpy fancy indexing —
 O(total_bytes) numpy work, no per-posting Python.
 
-v2 note: PForDelta would pack fixed-width bit groups with exceptions; varint
-was chosen for v1 because decode is branch-free vectorizable below and the
-bench shows codec time is <5% of build (shuffle dominates).
+Both codecs exist: varint (default — decode is branch-free vectorizable
+below, and codec time is a small share of the build after the vectorized
+whole-partition encoder) and PForDelta (pfor_* below: fixed-width bit
+packing + varint exception patching, 2-2.6x denser on head-term gap
+streams; selectable via IndexConfig.codec, auto-detected by readers).
 """
 
 from __future__ import annotations
