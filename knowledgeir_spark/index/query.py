@@ -410,6 +410,13 @@ def _score_group_dense(
         return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
     sc = np.log(np.maximum(score[cand], 1.0))  # bm25 finalize
     qkeys = np.floor(sc * _RANK_Q).astype(np.int64)
+    if len(cand) > max(4096, 4 * k):
+        # full lexsort of millions of candidates for a top-20 is the tail
+        # cost at 2M+ docs: pre-select everything >= the k-th quantized key
+        # (ties INCLUDED, so doc_id ordering among equals is preserved)
+        kth = np.partition(qkeys, len(qkeys) - k)[len(qkeys) - k]
+        keep = qkeys >= kth
+        cand, sc, qkeys = cand[keep], sc[keep], qkeys[keep]
     order = np.lexsort((cand, -qkeys))[:k]
     return pd.DataFrame({"qid": qid, "doc_id": cand[order], "score": sc[order]})
 
