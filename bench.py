@@ -126,16 +126,29 @@ def _build_code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
-def build_in_subprocess(cpus: int, n_docs: int | None = None) -> dict:
+def build_in_subprocess(
+    cpus: int, n_docs: int | None = None, timeout_s: int = 900
+) -> dict | None:
+    """One isolated build; None on timeout (the shared VM occasionally
+    wedges a JVM for many minutes — a hung leg must not hang the whole
+    bench; callers take the min over the legs that completed)."""
     env = dict(
         os.environ,
         KIR_BENCH_BUILD_CPUS=str(cpus),
         KIR_BENCH_BUILD_DOCS=str(n_docs or N_DOCS),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"WARN: build subprocess (cpus={cpus}) timed out after "
+            f"{timeout_s}s; skipping this leg", file=sys.stderr,
+        )
+        return None
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -152,7 +165,9 @@ def main() -> None:
 
     # 1. index build throughput (isolated subprocess, best of 2 — the
     # shared VM's steal bursts can rob a single run; see scaling note)
-    b_runs = [build_in_subprocess(CPUS, N_DOCS) for _ in range(2)]
+    b_runs = [b for b in (build_in_subprocess(CPUS, N_DOCS) for _ in range(2)) if b]
+    if not b_runs:  # both legs wedged: one last long-leash attempt
+        b_runs = [build_in_subprocess(CPUS, N_DOCS, timeout_s=1800)]
     b_hi = min(b_runs, key=lambda b: b["build_sec"])
     results["index_build"] = b_hi["build_sec"]
     extras["index_build_runs"] = [b["build_sec"] for b in b_runs]
@@ -196,10 +211,16 @@ def main() -> None:
             # MINIMUM of N runs per leg (least-interfered run = closest to
             # the machine's true throughput); all runs are recorded.
             n_runs = int(os.environ.get("KIR_BENCH_SCALE_RUNS", "3"))
-            runs_hi = [build_in_subprocess(hi, scale_docs)["build_sec"]
-                       for _ in range(n_runs)]
-            runs_lo = [build_in_subprocess(lo, scale_docs)["build_sec"]
-                       for _ in range(n_runs)]
+            runs_hi = [
+                b["build_sec"] for b in
+                (build_in_subprocess(hi, scale_docs) for _ in range(n_runs))
+                if b
+            ]
+            runs_lo = [
+                b["build_sec"] for b in
+                (build_in_subprocess(lo, scale_docs) for _ in range(n_runs))
+                if b
+            ]
             thr_hi = scale_docs / min(runs_hi)
             thr_lo = scale_docs / min(runs_lo)
             eff = thr_hi / (thr_lo * (hi / lo))
