@@ -22,9 +22,14 @@ The crash window between the postings swap and the stats commit is covered
 by the swapped postings manifest: its conf records which deltas the
 snapshot contains ("compact_of"), so a re-run detects base-already-contains
 deltas and completes the stats commit without re-folding.  The swap itself
-goes rename(old -> old.bak), rename(new -> old), remove backup — there is
-never a moment without a readable postings dir, and an interrupted swap is
-healed at the start of the next run.
+goes rename(old -> old.bak), rename(new -> old), replace manifest, remove
+backup — there is never a moment without a readable postings dir, and an
+interrupted swap is healed at the start of the next run, including the two
+narrow windows: (a) data rename done but manifest replace lost (heal
+finishes the manifest commit so the delta cannot be re-unioned), and (b)
+postings swapped but term_stats_compacted never installed (the swap pass
+runs on every compact() call, not only after a fresh compute, so the
+orphaned snapshot is installed on recovery).
 
 Append-only doc_id assumption (new crawl docs get new ids); re-crawled urls
 should be deduped upstream before indexing.
@@ -80,23 +85,63 @@ def decode_postings_df(blocks: DataFrame, codec: str = "varint") -> DataFrame:
 
 
 def _heal_interrupted_swap(mgr: StageManager) -> None:
-    """Recover from a crash inside the swap: for each stage, if the live dir
-    is missing, restore it from the compacted snapshot (finish the swap) or
-    from the .bak backup (roll back)."""
+    """Recover from a crash inside the swap.  For each stage:
+
+    - live dir missing: restore it from the compacted snapshot (finish the
+      swap) or from the .bak backup (roll back) — never a run start without
+      a readable dir.
+    - compacted MANIFEST present but its data dir gone while the live dir
+      exists: the swap's data rename completed and only the manifest replace
+      was lost.  The live data already IS the compacted snapshot, so finish
+      the manifest commit here — otherwise the live manifest lacks
+      ``compact_of`` and a recovery run would re-union the delta into the
+      already-compacted base, duplicating every delta posting (doubled
+      df/cf).
+    """
+    import shutil
+
     for stage in ("postings", "term_stats"):
         old = mgr.stage_path(stage)
         new = mgr.stage_path(stage + "_compacted")
         bak = old + ".bak"
+        new_mp = mgr._manifest_path(stage + "_compacted")
         if not os.path.isdir(old):
             if os.path.isdir(new):
                 os.rename(new, old)
-                if os.path.exists(mgr._manifest_path(stage + "_compacted")):
-                    os.replace(
-                        mgr._manifest_path(stage + "_compacted"),
-                        mgr._manifest_path(stage),
-                    )
+                if os.path.exists(new_mp):
+                    os.replace(new_mp, mgr._manifest_path(stage))
+                shutil.rmtree(bak, ignore_errors=True)
             elif os.path.isdir(bak):
                 os.rename(bak, old)
+        elif os.path.exists(new_mp) and not os.path.isdir(new):
+            os.replace(new_mp, mgr._manifest_path(stage))
+
+
+def _swap_one(mgr: StageManager, stage: str) -> None:
+    """Install the committed ``<stage>_compacted`` snapshot (data dir AND
+    manifest both present) as the live stage.  Order: backup old, rename new
+    into place, replace the manifest, drop the backup — every intermediate
+    state is recoverable by _heal_interrupted_swap."""
+    import shutil
+
+    old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
+    new_mp = mgr._manifest_path(stage + "_compacted")
+    if not (os.path.isdir(new) and os.path.exists(new_mp)):
+        return  # nothing committed to install (a dir without a manifest is
+        # an uncommitted partial — StageManager.run cleans those)
+    bak = old + ".bak"
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    if os.path.isdir(old):
+        os.rename(old, bak)
+    os.rename(new, old)
+    os.replace(new_mp, mgr._manifest_path(stage))
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _swap_compacted_stages(mgr: StageManager) -> None:
+    for stage in ("postings", "term_stats"):
+        _swap_one(mgr, stage)
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -111,8 +156,6 @@ def compact(
 ) -> dict:
     """Merge unfolded deltas/batch_* into the base index (postings + stats
     stages).  Idempotent and crash-safe — see module docstring protocol."""
-    import shutil
-
     mgr = StageManager(index_dir)
     _heal_interrupted_swap(mgr)
 
@@ -176,22 +219,15 @@ def compact(
 
         results["term_stats_compacted"] = mgr.run("term_stats_compacted", conf, write_term_stats)
 
-        # swap compacted stages into place; never a moment without a live dir
-        for stage in ("postings", "term_stats"):
-            old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
-            if os.path.isdir(new):
-                bak = old + ".bak"
-                if os.path.isdir(bak):
-                    shutil.rmtree(bak)
-                if os.path.isdir(old):
-                    os.rename(old, bak)
-                os.rename(new, old)
-                if os.path.exists(mgr._manifest_path(stage + "_compacted")):
-                    os.replace(
-                        mgr._manifest_path(stage + "_compacted"),
-                        mgr._manifest_path(stage),
-                    )
-                shutil.rmtree(bak, ignore_errors=True)
+    # swap committed compacted stages into place; never a moment without a
+    # live dir.  Runs UNCONDITIONALLY (not only when this run computed a
+    # snapshot): a crash after the postings swap but before the term_stats
+    # swap leaves to_compact empty on recovery — the live postings manifest
+    # already records the delta — with term_stats_compacted still waiting to
+    # be installed.  By the time control reaches here, any lingering
+    # postings_compacted has a matching term_stats_compacted (the compute
+    # branch above commits term_stats before any swap happens).
+    _swap_compacted_stages(mgr)
 
     # exact field_stats refresh from per-delta scalars, for every delta now
     # inside the live snapshot but not yet committed; the folded_deltas list

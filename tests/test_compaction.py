@@ -156,3 +156,112 @@ def test_compact_recovers_stats_commit_crash(spark, webpages_pdf, tmp_path):
     assert fs_after["folded_deltas"] == fs_good["folded_deltas"]
     # postings were NOT re-unioned: same physical row count
     assert spark.read.parquet(f"{idx_dir}/postings").count() == n_rows
+
+
+def _build_with_one_delta(spark, webpages_pdf, tmp_path, tag):
+    """base 100 docs + one 30-doc streaming delta, NOT yet compacted."""
+    idx_dir = str(tmp_path / f"idx_{tag}")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:100][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base100")
+    inp = str(tmp_path / f"arr_{tag}")
+    spark.createDataFrame(pdf.iloc[100:130][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, "doc_id long, text string", CFG)
+    return idx_dir, pdf.iloc[:130]
+
+
+def _assert_matches_oracle(spark, idx_dir, corpus_pdf):
+    """Postings AND term_stats exactly match a from-scratch oracle over the
+    union corpus (catches both duplicated postings and stale df/cf)."""
+    oracle = OracleIndex(list(zip(corpus_pdf["doc_id"], corpus_pdf["text"])))
+    long_form = decode_postings_df(spark.read.parquet(f"{idx_dir}/postings")).collect()
+    got: dict[str, list] = {}
+    for r in long_form:
+        got.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    assert set(got) == set(oracle.postings)
+    for t in got:
+        assert sorted(got[t]) == sorted(oracle.postings[t]), t
+    stats = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{idx_dir}/term_stats").collect()
+    }
+    for t, plist in oracle.postings.items():
+        assert stats[t] == (len(plist), sum(tf for _, tf in plist)), t
+
+
+def test_compact_recovers_crash_between_stage_swaps(
+    spark, webpages_pdf, tmp_path, monkeypatch
+):
+    """Crash AFTER the postings swap but BEFORE the term_stats swap: on
+    recovery the live postings manifest already records the delta (so
+    to_compact is empty) — the orphaned term_stats_compacted snapshot must
+    still be installed, or df/cf stay permanently stale."""
+    import knowledgeir_spark.index.compact as cm
+
+    idx_dir, corpus = _build_with_one_delta(spark, webpages_pdf, tmp_path, "c1")
+
+    def swap_postings_then_crash(mgr):
+        cm._swap_one(mgr, "postings")
+        raise RuntimeError("simulated crash between stage swaps")
+
+    monkeypatch.setattr(cm, "_swap_compacted_stages", swap_postings_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(spark, idx_dir, CFG)
+    monkeypatch.undo()
+
+    # stale state is real: term_stats_compacted exists, live term_stats old
+    import os
+
+    assert os.path.isdir(f"{idx_dir}/term_stats_compacted")
+    res = compact(spark, idx_dir, CFG)  # recovery run
+    assert not os.path.isdir(f"{idx_dir}/term_stats_compacted")
+    _assert_matches_oracle(spark, idx_dir, corpus)
+    # and the recovery did NOT recompute/union anything (no new stage runs)
+    assert not any(not r.skipped for r in res.values())
+
+
+def test_compact_recovers_crash_before_manifest_replace(
+    spark, webpages_pdf, tmp_path, monkeypatch
+):
+    """Crash between the swap's data rename and its manifest replace: live
+    postings already contain the delta but the live manifest does not record
+    it.  Recovery must finish the manifest commit — NOT re-union the delta
+    into the already-compacted base (which would double df/cf)."""
+    import os
+
+    import knowledgeir_spark.index.compact as cm
+
+    idx_dir, corpus = _build_with_one_delta(spark, webpages_pdf, tmp_path, "c2")
+
+    def swap_without_manifest_then_crash(mgr, stage):
+        import shutil
+
+        old, new = mgr.stage_path(stage), mgr.stage_path(stage + "_compacted")
+        bak = old + ".bak"
+        os.rename(old, bak)
+        os.rename(new, old)
+        shutil.rmtree(bak, ignore_errors=True)
+        raise RuntimeError("simulated crash before manifest replace")
+
+    monkeypatch.setattr(cm, "_swap_one", swap_without_manifest_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(spark, idx_dir, CFG)
+    monkeypatch.undo()
+
+    # the dangerous state: compacted manifest present, its dir gone, live
+    # manifest still pre-compact
+    assert os.path.exists(f"{idx_dir}/_lineage/postings_compacted.json")
+    assert not os.path.isdir(f"{idx_dir}/postings_compacted")
+
+    compact(spark, idx_dir, CFG)  # recovery run
+    assert not os.path.exists(f"{idx_dir}/_lineage/postings_compacted.json")
+    _assert_matches_oracle(spark, idx_dir, corpus)
+
+    import json
+
+    with open(f"{idx_dir}/field_stats.json") as f:
+        fs = json.load(f)
+    assert fs["n_docs"] == 130 and len(fs["folded_deltas"]) == 1
+    # idempotent afterwards
+    assert compact(spark, idx_dir, CFG) == {}
