@@ -108,8 +108,13 @@ def build_once(cpus: int, n_docs: int) -> dict:
 
 
 def _build_code_fingerprint() -> str:
-    """md5 over the index-build-path sources: a changed build re-measures
-    the (expensive) 1M-doc scaling pair; an unchanged one reuses it."""
+    """md5 over the STRIPPED AST of the index-build-path sources: a semantic
+    change re-measures the (expensive) 1M-doc scaling pair; an unchanged
+    build reuses it.  Comments, docstrings, and formatting are excluded on
+    purpose — a doc-only edit must not detach the cached measurement from
+    HEAD (round-2 lesson: an 8-line comment edit invalidated a valid pair
+    and the forced re-measure landed in a CPU-steal burst)."""
+    import ast
     import hashlib
 
     h = hashlib.md5()
@@ -121,8 +126,21 @@ def _build_code_fingerprint() -> str:
         "knowledgeir_spark/session.py",
         "knowledgeir_spark/functions/text.py",
     ):
-        with open(os.path.join(REPO, rel), "rb") as f:
-            h.update(f.read())
+        with open(os.path.join(REPO, rel)) as f:
+            tree = ast.parse(f.read(), filename=rel)
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(node, (ast.Module, ast.FunctionDef,
+                                  ast.AsyncFunctionDef, ast.ClassDef))
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+        h.update(rel.encode())
+        h.update(ast.dump(tree).encode())
     return h.hexdigest()[:12]
 
 
@@ -167,7 +185,13 @@ def main() -> None:
     # shared VM's steal bursts can rob a single run; see scaling note)
     b_runs = [b for b in (build_in_subprocess(CPUS, N_DOCS) for _ in range(2)) if b]
     if not b_runs:  # both legs wedged: one last long-leash attempt
-        b_runs = [build_in_subprocess(CPUS, N_DOCS, timeout_s=1800)]
+        b_runs = [b for b in [build_in_subprocess(CPUS, N_DOCS, timeout_s=1800)] if b]
+    if not b_runs:
+        sys.exit(
+            "FATAL: every index-build subprocess timed out (including the "
+            "1800s long-leash retry) — host too contended to measure; rerun "
+            "when idle"
+        )
     b_hi = min(b_runs, key=lambda b: b["build_sec"])
     results["index_build"] = b_hi["build_sec"]
     extras["index_build_runs"] = [b["build_sec"] for b in b_runs]
@@ -221,28 +245,42 @@ def main() -> None:
                 (build_in_subprocess(lo, scale_docs) for _ in range(n_runs))
                 if b
             ]
-            thr_hi = scale_docs / min(runs_hi)
-            thr_lo = scale_docs / min(runs_lo)
-            eff = thr_hi / (thr_lo * (hi / lo))
-            extras["scaling"] = {
-                "cpus_low": lo, "cpus_high": hi, "n_docs": scale_docs,
-                "build_sec_low": min(runs_lo),
-                "build_sec_high": min(runs_hi),
-                "runs_low": runs_lo, "runs_high": runs_hi,
-                "docs_per_sec_low": round(thr_lo, 1),
-                "docs_per_sec_high": round(thr_hi, 1),
-                "efficiency": round(eff, 3),
-                "build_code_fingerprint": fp,
-                "note": (
-                    "compute-dominated pair (north_rule two-cluster-size "
-                    f"criterion, sandbox proxy: same job at {lo} vs {hi} "
-                    "cores, fresh subprocess each, warm page cache, best of "
-                    f"{n_runs} runs per leg — shared-VM CPU steal makes "
-                    "single runs unreliable)"
-                ),
-            }
-            with open(cache_key, "w") as f:
-                json.dump(extras["scaling"], f)
+            if not runs_hi or not runs_lo:
+                # a leg with zero completed runs cannot be measured — report
+                # the failure instead of crashing on min([]) and move on
+                print(
+                    "WARN: a scaling leg had zero completed runs "
+                    f"(lo={len(runs_lo)}/{n_runs}, hi={len(runs_hi)}/"
+                    f"{n_runs}) — skipping the scaling block this run; "
+                    "rerun on an idle host", file=sys.stderr,
+                )
+                extras["scaling"] = {
+                    "error": "every run of one scaling leg timed out",
+                    "runs_low": runs_lo, "runs_high": runs_hi,
+                }
+            else:
+                thr_hi = scale_docs / min(runs_hi)
+                thr_lo = scale_docs / min(runs_lo)
+                eff = thr_hi / (thr_lo * (hi / lo))
+                extras["scaling"] = {
+                    "cpus_low": lo, "cpus_high": hi, "n_docs": scale_docs,
+                    "build_sec_low": min(runs_lo),
+                    "build_sec_high": min(runs_hi),
+                    "runs_low": runs_lo, "runs_high": runs_hi,
+                    "docs_per_sec_low": round(thr_lo, 1),
+                    "docs_per_sec_high": round(thr_hi, 1),
+                    "efficiency": round(eff, 3),
+                    "build_code_fingerprint": fp,
+                    "note": (
+                        "compute-dominated pair (north_rule two-cluster-size "
+                        f"criterion, sandbox proxy: same job at {lo} vs {hi} "
+                        "cores, fresh subprocess each, warm page cache, best "
+                        f"of {n_runs} runs per leg — shared-VM CPU steal "
+                        "makes single runs unreliable)"
+                    ),
+                }
+                with open(cache_key, "w") as f:
+                    json.dump(extras["scaling"], f)
         # transparency: the wider (2, 8) pair when measured for this code
         # version — its high leg runs into the single-host DRAM ceiling
         # (see BENCH/BASELINE.md), attached so the drop-off is visible
