@@ -46,6 +46,9 @@ _RANK_Q = 1e9
 _CHUNK = 1024
 # engage decode-level WAND only when there is enough to skip
 _BMW_MIN_BLOCKS = 32
+# introspection: the last dense-scorer run's skip statistics (tests assert
+# the MaxScore path actually engages; bench reads it for reporting)
+_LAST_DENSE_STATS: dict = {}
 
 
 def _score_group(
@@ -348,24 +351,41 @@ def _score_group_dense(
     path when the doc-id space fits a flat array (engine doc_ids are dense
     ints by construction).
 
-    Two insights over the union-based _score_group:
+    Three levers over the union-based _score_group:
     - accumulate score[doc_id] += contrib per term (one fancy-index add over
       the term's postings) — no np.unique / searchsorted / per-term scatter
       over the candidate union, which dominated head-term latency;
     - terms whose idf clamps to 0 (df > ~N/2 under the reference's
       max(log(max((N-df+.5)/(df+.5),1)),0) quirk — i.e. exactly the Zipf
       head) contribute 0 to EVERY doc, so only their doc-id stream is
-      decoded (candidacy) and tf/doc_len streams are skipped entirely.
-
-    Summation order: terms are added in term_idx order, the same
-    left-to-right fold as ordered_sum/the oracle (0.0 + c1 == c1 exactly),
-    so scores are bit-identical to the other paths.
+      decoded (candidacy) and tf/doc_len streams are skipped entirely;
+    - MaxScore block skipping for positive-idf head terms: selective terms
+      (large per-term bound, from block metadata only) are decoded first;
+      once the remaining terms' summed bounds quantize strictly below the
+      running k-th best partial, those terms decode only the blocks whose
+      doc-id range contains a candidate.  Exact, including doc_id
+      tie-breaks: the comparison runs one quantum below the ranking key,
+      and a final re-accumulation in term_idx order (the same per-doc
+      left-to-right fold as ordered_sum/the oracle) keeps candidate scores
+      bit-identical to the unpruned paths.
     """
     qid = str(pdf["qid"].iat[0])
     terms = sorted(q_terms[qid], key=lambda t: t["term_idx"])
-    score = np.zeros(id_space, dtype=np.float64)
-    seen = np.zeros(id_space, dtype=bool)
     groups = {term: g for term, g in pdf.groupby("term", sort=False)}
+
+    def decode(g) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids, tfs, dls = decode_blocks_concat(
+            [bytes(x) for x in g["doc_id_deltas"]],
+            [bytes(x) for x in g["tfs"]],
+            [bytes(x) for x in g["doc_lens"]],
+            g["n_docs"].tolist(),
+            codec=codec,
+        )
+        return ids.astype(np.int64), tfs, dls
+
+    # plan: per-term global contribution bound from block metadata (no
+    # decode); zero-idf terms keep the lazy candidacy-only treatment below
+    scored_terms = []
     deferred = []  # zero-idf term groups: candidacy-only, decoded lazily
     for t in terms:
         g = groups.get(t["term"])
@@ -377,17 +397,88 @@ def _score_group_dense(
         if idf == 0.0:
             deferred.append(g)
             continue
-        ids, tfs, dls = decode_blocks_concat(
-            [bytes(x) for x in g["doc_id_deltas"]],
-            [bytes(x) for x in g["tfs"]],
-            [bytes(x) for x in g["doc_lens"]],
-            g["n_docs"].tolist(),
-            codec=codec,
+        bound = float(
+            np.max(
+                S.bm25_term_bound(
+                    g["max_tf"].to_numpy(np.float64),
+                    g["min_doc_len"].to_numpy(np.float64),
+                    df, n, avgdl,
+                )
+            )
         )
-        ids = ids.astype(np.int64)
+        scored_terms.append({"t": t, "g": g, "df": df, "bound": bound})
+
+    def qf(x: float) -> int:  # the engine-wide quantized ranking key
+        return math.floor(math.log(max(x, 1.0)) * _RANK_Q)
+
+    # SELECTION (MaxScore at block-metadata granularity — the mid-idf
+    # head-term lever): decode terms in descending bound order; once the
+    # summed bounds of the remaining terms quantize strictly below the
+    # current k-th best partial (one extra quantum of margin swallows the
+    # reordered-summation ulps of this phase), a doc with no hit in the
+    # decoded "essential" terms can never enter the top-k — even on a
+    # doc_id tie — so the remaining (head) terms only need blocks whose
+    # doc-id range contains an already-seen candidate.
+    by_bound = sorted(scored_terms, key=lambda d: -d["bound"])
+    score_sel = np.zeros(id_space, dtype=np.float64)
+    seen = np.zeros(id_space, dtype=bool)
+    decoded: dict[str, tuple] = {}
+    rest_bound = sum(d["bound"] for d in by_bound)
+    n_ess = 0
+    for d in by_bound:
+        if n_ess > 0:
+            cand_sel = score_sel[seen]
+            if len(cand_sel) >= k:
+                theta = float(
+                    np.partition(cand_sel, len(cand_sel) - k)[len(cand_sel) - k]
+                )
+                if qf(rest_bound) < qf(theta) - 1:
+                    break
+        ids, tfs, dls = decode(d["g"])
+        decoded[d["t"]["term"]] = (ids, tfs, dls)
         seen[ids] = True
+        score_sel[ids] += S.bm25_term_contrib(
+            tfs.astype(np.float64), d["df"], dls.astype(np.float64), n, avgdl
+        )
+        rest_bound -= d["bound"]
+        n_ess += 1
+
+    # FILL-IN: skipped terms still contribute to candidates' exact scores —
+    # decode only their blocks whose [first_doc_id, max_doc_id] range holds
+    # a candidate (head-term blocks are doc-dense, candidates sparse, so
+    # most blocks drop)
+    blocks_decoded = sum(len(d["g"]) for d in by_bound[:n_ess])
+    if n_ess < len(by_bound):
+        cum = np.zeros(id_space + 1, dtype=np.int64)
+        np.cumsum(seen, out=cum[1:])
+        for d in by_bound[n_ess:]:
+            g = d["g"]
+            lo = g["first_doc_id"].to_numpy(np.int64)
+            hi = g["max_doc_id"].to_numpy(np.int64)
+            keep = (cum[hi + 1] - cum[lo]) > 0
+            if keep.any():
+                decoded[d["t"]["term"]] = decode(g[keep])
+                blocks_decoded += int(keep.sum())
+    _LAST_DENSE_STATS.clear()
+    _LAST_DENSE_STATS.update(
+        qid=qid, n_scored_terms=len(by_bound), n_essential=n_ess,
+        blocks_total=sum(len(d["g"]) for d in by_bound),
+        blocks_decoded=blocks_decoded,
+    )
+
+    # EXACT accumulation in term_idx order over the decoded blocks — the
+    # same per-doc left-to-right fold as ordered_sum/the oracle (a doc
+    # appears in at most one block per term), so candidate scores are
+    # bit-identical to the unpruned paths
+    score = np.zeros(id_space, dtype=np.float64)
+    for t in terms:
+        dec = decoded.get(t["term"])
+        if dec is None:
+            continue
+        ids, tfs, dls = dec
         score[ids] += S.bm25_term_contrib(
-            tfs.astype(np.float64), df, dls.astype(np.float64), n, avgdl
+            tfs.astype(np.float64), float(t["df"]), dls.astype(np.float64),
+            n, avgdl,
         )
     cand = np.flatnonzero(seen)
     # a zero-idf term's docs all score exactly 0: they can only reach the

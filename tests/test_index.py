@@ -236,3 +236,77 @@ def test_dense_scorer_matches_union_scorer():
         brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
         assert list(dense["doc_id"]) == list(brute["doc_id"]), k
         assert np.allclose(dense["score"], brute["score"]), k
+
+
+def test_dense_scorer_maxscore_skips_blocks():
+    """The dense scorer's MaxScore phase must decode only the mid-idf head
+    term's blocks that contain a candidate (most of its blocks drop once
+    the selective term fixes the threshold) — and stay BIT-identical to
+    the decode-everything scorer, doc_id ties included."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    # mid-idf head term: df 30k of N=100k -> idf ~ log(2.33) > 0, 235 blocks
+    mid_docs = np.arange(0, 60000, 2, dtype=np.uint64)
+    for s in range(0, len(mid_docs), 128):
+        ids = mid_docs[s:s + 128]
+        blk = encode_block(ids, np.ones(len(ids)), np.full(len(ids), 20))
+        blk.update(term="mid", qid="1")
+        rows.append(blk)
+    # selective term: 10 docs, high tf, spread across the id space
+    rare_docs = np.arange(1, 100001, 10000, dtype=np.uint64)
+    blk = encode_block(rare_docs, np.full(10, 5), np.full(10, 10))
+    blk.update(term="rare", qid="1")
+    rows.append(blk)
+    pdf = pd.DataFrame(rows)
+
+    q_terms = {"1": [
+        {"term": "mid", "term_idx": 0, "q_tf": 1, "df": 30000.0},
+        {"term": "rare", "term_idx": 1, "q_tf": 1, "df": 10.0},
+    ]}
+    n, avgdl, k = 100000.0, 20.0, 5
+
+    dense = Q._score_group_dense(pdf, q_terms, n, avgdl, k, "varint", 100001)
+    stats = dict(Q._LAST_DENSE_STATS)
+    assert stats["n_essential"] == 1, stats
+    assert stats["blocks_decoded"] < stats["blocks_total"] * 0.2, stats
+
+    brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+    assert list(dense["doc_id"]) == list(brute["doc_id"])
+    assert list(dense["score"]) == list(brute["score"])  # bit-identical
+
+
+def test_dense_scorer_maxscore_no_skip_when_unsafe():
+    """When every term has a comparable bound (no selective anchor), the
+    MaxScore loop must decode everything — identical output, zero skips."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    for t, start in (("alpha", 0), ("beta", 1), ("gamma", 2)):
+        docs = np.arange(start, 3000, 3, dtype=np.uint64)
+        for s in range(0, len(docs), 128):
+            ids = docs[s:s + 128]
+            blk = encode_block(ids, np.ones(len(ids)), np.full(len(ids), 12))
+            blk.update(term=t, qid="1")
+            rows.append(blk)
+    pdf = pd.DataFrame(rows)
+    q_terms = {"1": [
+        {"term": "alpha", "term_idx": 0, "q_tf": 1, "df": 1000.0},
+        {"term": "beta", "term_idx": 1, "q_tf": 1, "df": 1000.0},
+        {"term": "gamma", "term_idx": 2, "q_tf": 1, "df": 1000.0},
+    ]}
+    n, avgdl, k = 10000.0, 12.0, 10
+    dense = Q._score_group_dense(pdf, q_terms, n, avgdl, k, "varint", 3000)
+    stats = dict(Q._LAST_DENSE_STATS)
+    assert stats["blocks_decoded"] == stats["blocks_total"], stats
+    brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+    assert list(dense["doc_id"]) == list(brute["doc_id"])
+    assert list(dense["score"]) == list(brute["score"])
