@@ -201,3 +201,88 @@ def ranking_overview(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def salience_metrics(
+    ents: DataFrame,
+    depths: tuple[int, ...] = (1, 5, 10, 20),
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-document salience evaluation suite — p@k, r@k, precision, recall,
+    accuracy, ROC AUC — matching the reference's SalienceEva exactly
+    (/root/reference/knowledge4ir/salience/utils/evaluation.py:34-116):
+
+    - p@k: sort by score desc (ties: `order_col` asc, standing in for the
+      reference's stable list order), count labels>0 in the top k, /k —
+      positions past the list contribute 0 (ref p_at_k zero-pads);
+    - r@k: same numerator over max(1, #labels>0) (labels clipped to {0,1});
+    - precision / recall / accuracy: prediction = score>0, all with
+      max(denominator, 1) (ref lines 76-103);
+    - auc: labels clipped to {0,1}; all-positive -> 1, all-negative -> 0,
+      else the Mann-Whitney U form of ROC AUC with average ranks for score
+      ties — exactly sklearn's trapezoidal roc_auc_score (ref line 105-113).
+
+    Everything stays integral until the final divisions: the tie-averaged
+    rank is carried doubled (2*rank + n_ties - 1), so engine/SQL parity is
+    exact.  One shuffle on doc_id (windows + groupBy share the key)."""
+    order = [F.col(score_col).desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    rn_w = Window.partitionBy(doc_col).orderBy(*order)
+    rank_w = Window.partitionBy(doc_col).orderBy(F.col(score_col).asc())
+    eq_w = Window.partitionBy(doc_col, score_col)
+
+    lab = F.least(F.greatest(F.col(label_col), F.lit(0)), F.lit(1))
+    d = ents.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(score_col).alias("score"),
+        lab.alias("pos"),
+        F.row_number().over(rn_w).alias("rn"),
+        # doubled tie-averaged ascending rank: 2*(cnt_lt + (cnt_eq+1)/2)
+        (2 * F.rank().over(rank_w) + F.count("*").over(eq_w) - 1).alias("rank2"),
+    )
+
+    aggs = [
+        F.sum("pos").alias("n_pos"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_pred"),
+        F.sum(
+            F.when((F.col("score") > 0) & (F.col("pos") == 1), 1).otherwise(0)
+        ).alias("n_hit"),
+        F.sum(F.when(F.col("pos") == 1, F.col("rank2")).otherwise(0)).alias(
+            "pos_rank2"
+        ),
+    ]
+    for k in depths:
+        aggs.append(
+            F.sum(
+                F.when((F.col("rn") <= k) & (F.col("pos") == 1), 1).otherwise(0)
+            ).alias(f"c_{k}")
+        )
+    g = d.groupBy("doc_id").agg(*aggs)
+
+    out = [F.col("doc_id")]
+    for k in depths:
+        out.append((F.col(f"c_{k}") / F.lit(k)).alias(f"p_at_{k:02d}"))
+    for k in depths:
+        out.append(
+            (F.col(f"c_{k}") / F.greatest(F.col("n_pos"), F.lit(1))).alias(
+                f"r_at_{k:02d}"
+            )
+        )
+    out += [
+        (F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1))).alias("precision"),
+        (F.col("n_hit") / F.greatest(F.col("n_pos"), F.lit(1))).alias("recall"),
+        (F.col("n_hit") / F.greatest(F.col("n"), F.lit(1))).alias("accuracy"),
+        F.when(F.col("n_pos") == 0, F.lit(0.0))
+        .when(F.col("n_pos") == F.col("n"), F.lit(1.0))
+        .otherwise(
+            (F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+        )
+        .alias("auc"),
+    ]
+    return g.select(*out)

@@ -741,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_ann": q_rp_lsh_ann,
         "sig_test": q_sig_test,
         "boe_emb_bins": q_boe_emb_bins,
+        "salience_eval": q_salience_eval,
+        "les_lm": q_les_lm,
     }
 
 
@@ -776,6 +778,8 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "rp_lsh_ann": _rp_lsh_sql(),
         "sig_test": _sig_test_sql(),
         "boe_emb_bins": _boe_emb_sql(),
+        "salience_eval": _salience_sql(),
+        "les_lm": _les_lm_sql(),
     }
 
 
@@ -963,4 +967,147 @@ SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
        CAST(floor(ln(greatest(cnt, 1e-10)) * 1e6) AS BIGINT) AS value_e6
 FROM dense
 ORDER BY qid, docno, feature
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: salience metric suite (p@k / r@k / precision / recall /
+# accuracy / ROC AUC), ref salience/utils/evaluation.py:34-116
+
+
+def q_salience_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SalienceEva over a deterministic synthetic salience task on the
+    documents table: entities = the doc's terms, score = tf + len(term)/10
+    (engineered to produce cross-term score ties, exercising the stable
+    sort and the tie-averaged AUC ranks), gold label = len(term) >= 5."""
+    from .operators.eval import salience_metrics
+    from .parity import _doc_tf
+
+    ents = _doc_tf(spark, sf_dir).select(
+        "doc_id",
+        "term",
+        (F.col("tf") + F.length("term") / F.lit(10.0)).alias("score"),
+        F.when(F.length("term") >= 5, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    m = salience_metrics(ents, order_col="term")
+    cols = [F.col("doc_id")] + [
+        F.floor(F.col(c) * F.lit(1000000.0)).cast("long").alias(f"{c}_e6")
+        for c in m.columns
+        if c != "doc_id"
+    ]
+    return m.select(*cols).orderBy("doc_id")
+
+
+def _salience_sql() -> str:
+    from .parity import _SQL_TOK
+
+    depths = (1, 5, 10, 20)
+    c_cols = ",\n         ".join(
+        f"sum(CASE WHEN rn <= {k} AND pos = 1 THEN 1 ELSE 0 END) AS c_{k}"
+        for k in depths
+    )
+    p_cols = ",\n  ".join(
+        f"CAST(floor(c_{k} / {k} * 1000000.0) AS BIGINT) AS p_at_{k:02d}_e6"
+        for k in depths
+    )
+    r_cols = ",\n  ".join(
+        f"CAST(floor(c_{k} / greatest(n_pos, 1) * 1000000.0) AS BIGINT)"
+        f" AS r_at_{k:02d}_e6"
+        for k in depths
+    )
+    return f"""
+WITH {_SQL_TOK},
+ents AS (
+  SELECT doc_id, term, tf + length(term) / 10.0 AS score,
+         CASE WHEN length(term) >= 5 THEN 1 ELSE 0 END AS pos
+  FROM tf
+),
+ranked AS (
+  SELECT doc_id, score, pos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn,
+         2 * rank() OVER (PARTITION BY doc_id ORDER BY score ASC)
+           + count(*) OVER (PARTITION BY doc_id, score) - 1 AS rank2
+  FROM ents
+),
+agg AS (
+  SELECT doc_id, sum(pos) AS n_pos, count(*) AS n,
+         sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS n_pred,
+         sum(CASE WHEN score > 0 AND pos = 1 THEN 1 ELSE 0 END) AS n_hit,
+         sum(CASE WHEN pos = 1 THEN rank2 ELSE 0 END) AS pos_rank2,
+         {c_cols}
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id,
+  {p_cols},
+  {r_cols},
+  CAST(floor(n_hit / greatest(n_pred, 1) * 1000000.0) AS BIGINT) AS precision_e6,
+  CAST(floor(n_hit / greatest(n_pos, 1) * 1000000.0) AS BIGINT) AS recall_e6,
+  CAST(floor(n_hit / greatest(n, 1) * 1000000.0) AS BIGINT) AS accuracy_e6,
+  CAST(floor((CASE WHEN n_pos = 0 THEN 0.0 WHEN n_pos = n THEN 1.0
+       ELSE (pos_rank2 - n_pos * (n_pos + 1)) / (2 * n_pos * (n - n_pos))
+       END) * 1000000.0) AS BIGINT) AS auc_e6
+FROM agg
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: Les family (lm model) under the DuckDB gate
+
+
+def q_les_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Les LeToR family (les.py:65-106) with the deterministic-entity trick:
+    query entities = the query's terms, each entity's `name` text = the term
+    itself, so the pseudo-query LM is a single-term vector and the family's
+    full pipeline (pseudo-query construction, completed-frame smoothing of
+    zero-overlap pairs, mean pooling over the query's entities) runs under
+    the SQL oracle with the `lm` model."""
+    from .operators.corpus_stats import term_stats
+    from .operators.letor_families import les_features
+
+    dt = _doc_tf(spark, sf_dir)
+    docs40 = dt.filter(F.col("doc_id") < 40)
+    q_rows = sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                     for t in text.lower().split()})
+    q_ents = spark.createDataFrame(q_rows, "qid string, e string")
+    entity_texts = q_ents.select("e").distinct().select(
+        "e", F.lit("name").alias("e_field"), F.col("e").alias("text")
+    )
+    pairs = q_ents.select("qid").distinct().crossJoin(
+        docs40.select("doc_id").distinct()
+    )
+    feats = les_features(
+        q_ents, entity_texts, docs40, term_stats(dt),
+        total_df=1.0, avg_doc_len=1.0,  # unused by the lm formula
+        pairs=pairs, models=("lm",),
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno")
+
+
+def _les_lm_sql() -> str:
+    from .parity import _SQL_TOK, _sql_queries_values
+
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qe AS (SELECT DISTINCT qid, term AS e FROM q_raw),
+docs AS (
+  SELECT DISTINCT t.doc_id, d.doc_len
+  FROM tf t JOIN dl d ON d.doc_id = t.doc_id
+  WHERE t.doc_id < 40
+),
+scored AS (
+  SELECT q.qid, d.doc_id,
+         ln(greatest(greatest(coalesce(t.tf, 0), 0.1) / d.doc_len, 1e-10)) AS s
+  FROM qe q CROSS JOIN docs d
+  LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = q.e
+)
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
+       'LesNameBodytextLm' AS feature,
+       CAST(floor(avg(s) * 1000000.0) AS BIGINT) AS value_e6
+FROM scored GROUP BY qid, doc_id
+ORDER BY qid, docno
 """

@@ -160,3 +160,94 @@ def test_randomization_test_detects_signal(spark):
     )
     r2 = randomization_test(same, n_trials=200, seed=1).collect()[0]
     assert r2["p_value"] == 0.0 and r2["tie"] == 10  # all diffs 0, never >
+
+
+# ---------------------------------------------------------------------------
+# salience metric suite (p@k / r@k / precision / recall / accuracy / auc)
+
+
+def _ref_salience_eva(scores, labels, depths=(1, 5, 10, 20)):
+    """Literal transcription of the reference SalienceEva
+    (salience/utils/evaluation.py:34-116); AUC via an INDEPENDENT numeric
+    trapezoid over the ROC curve (what sklearn.roc_auc_score computes) —
+    not the rank formula the engine uses."""
+    from itertools import groupby
+
+    out = {}
+    l_d = sorted(zip(scores, labels), key=lambda it: -it[0])  # stable ties
+    correct = 0
+    total_z = max(1, sum(max(0, min(lab, 1)) for lab in labels))
+    for p in range(max(depths)):
+        label = l_d[p][1] if p < len(l_d) else 0
+        if label > 0:
+            correct += 1
+        if p + 1 in depths:
+            out[f"p_at_{p + 1:02d}"] = correct / (p + 1)
+            out[f"r_at_{p + 1:02d}"] = correct / total_z
+    z = sum(1 for s in scores if s > 0)
+    c = sum(1 for s, lab in zip(scores, labels) if s > 0 and lab > 0)
+    out["precision"] = c / max(z, 1.0)
+    out["recall"] = c / max(sum(1 for lab in labels if lab > 0), 1.0)
+    out["accuracy"] = c / max(len(scores), 1.0)
+    lab_bin = [min(1, max(0, lab)) for lab in labels]
+    if min(lab_bin) == 1:
+        out["auc"] = 1.0
+    elif max(lab_bin) == 0:
+        out["auc"] = 0.0
+    else:
+        pairs = sorted(zip(scores, lab_bin), key=lambda t: -t[0])
+        pos = sum(lab_bin)
+        neg = len(lab_bin) - pos
+        pts = [(0.0, 0.0)]
+        tp = fp = 0
+        for _s, grp in groupby(pairs, key=lambda t: t[0]):
+            g = list(grp)
+            tp += sum(lab for _, lab in g)
+            fp += sum(1 - lab for _, lab in g)
+            pts.append((fp / neg, tp / pos))
+        out["auc"] = sum(
+            (x2 - x1) * (y1 + y2) / 2
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+        )
+    return out
+
+
+def test_salience_metrics_vs_reference_oracle(spark):
+    import random
+
+    from knowledgeir_spark.operators.eval import salience_metrics
+
+    rng = random.Random(17)
+    docs = {}
+    rows = []
+    for doc_id in range(12):
+        n = rng.randint(1, 30)
+        # coarse score grid -> many exact ties; labels mixed, with doc 0
+        # all-positive and doc 1 all-negative (the AUC special cases)
+        scores = [rng.choice([0.0, 0.5, 1.0, 1.5, 2.0]) for _ in range(n)]
+        if doc_id == 0:
+            labels = [1] * n
+        elif doc_id == 1:
+            labels = [0] * n
+        else:
+            labels = [rng.choice([-1, 0, 1, 2]) for _ in range(n)]
+        docs[doc_id] = (scores, labels)
+        rows += [
+            (doc_id, i, s, lab)
+            for i, (s, lab) in enumerate(zip(scores, labels))
+        ]
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, ent_idx long, score double, label long"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in salience_metrics(df, order_col="ent_idx").collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, (scores, labels) in docs.items():
+        exp = _ref_salience_eva(scores, labels)
+        for metric, val in exp.items():
+            assert got[doc_id][metric] == pytest.approx(val, abs=1e-9), (
+                doc_id, metric,
+            )
