@@ -65,17 +65,22 @@ def doc_shingles(
     )
 
 
-def stop_shingle_cut(shingles: DataFrame, max_df: int) -> DataFrame:
+def stop_shingle_cut(shingles: DataFrame, max_df) -> DataFrame:
     """Drop shingles whose document frequency exceeds max_df (stop-shingle /
     boilerplate guard).  One groupBy on the shingle (the same key the
-    signature agg shuffles on) + a left_semi join — no data is widened."""
-    ok = (
-        shingles.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
-    )
-    return shingles.join(ok, "shingle", "left_semi")
+    signature agg shuffles on) + a left_semi join — no data is widened.
+
+    max_df: an int, or a 1-row DataFrame with a `_max_df` column — the
+    latter is cross-joined as a broadcast scalar so a corpus-derived cut
+    stays INSIDE the job instead of needing a driver-side count() action."""
+    dfc = shingles.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(max_df, DataFrame):
+        ok = dfc.crossJoin(F.broadcast(max_df)).filter(
+            F.col("df") <= F.col("_max_df")
+        )
+    else:
+        ok = dfc.filter(F.col("df") <= max_df)
+    return shingles.join(ok.select("shingle"), "shingle", "left_semi")
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
@@ -204,7 +209,14 @@ def minhash_lsh_dedup(
     definition, the standard web-dedup convention."""
     sh = doc_shingles(docs, k=k, text_col=text_col, id_col=id_col)
     if max_shingle_df is None:
-        max_shingle_df = max(docs.count() // 2, 3)
+        # half the corpus size (floored at 3), computed lazily as a 1-row
+        # broadcast inside the pipeline — a library default must not launch
+        # a separate docs.count() Spark job on the driver
+        max_shingle_df = docs.agg(
+            F.greatest(F.floor(F.count("*") / 2), F.lit(3))
+            .cast("long")
+            .alias("_max_df")
+        )
     sh = stop_shingle_cut(sh, max_shingle_df)
     sig = minhash_signatures(sh, n_hashes=n_hashes)
     pairs = lsh_candidate_pairs(
