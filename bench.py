@@ -144,17 +144,30 @@ def _build_code_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
+def _host_busy_steal() -> tuple[int, int]:
+    """(busy, steal) jiffies from the aggregate /proc/stat cpu line.  Steal
+    accrues only on RUNNABLE vCPUs, so during a build it is a direct
+    measure of how much of the build's own CPU the hypervisor took."""
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    busy = int(p[1]) + int(p[2]) + int(p[3])  # user + nice + system
+    return busy, int(p[8])
+
+
 def build_in_subprocess(
     cpus: int, n_docs: int | None = None, timeout_s: int = 900
 ) -> dict | None:
     """One isolated build; None on timeout (the shared VM occasionally
     wedges a JVM for many minutes — a hung leg must not hang the whole
-    bench; callers take the min over the legs that completed)."""
+    bench; callers take the min over the legs that completed).  Each run
+    records the host steal ratio over its window so interference is
+    visible in the artifact."""
     env = dict(
         os.environ,
         KIR_BENCH_BUILD_CPUS=str(cpus),
         KIR_BENCH_BUILD_DOCS=str(n_docs or N_DOCS),
     )
+    busy0, steal0 = _host_busy_steal()
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -167,7 +180,11 @@ def build_in_subprocess(
             f"{timeout_s}s; skipping this leg", file=sys.stderr,
         )
         return None
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    busy1, steal1 = _host_busy_steal()
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    db, ds = busy1 - busy0, steal1 - steal0
+    res["steal_ratio"] = round(ds / max(db + ds, 1), 4)
+    return res
 
 
 def main() -> None:
@@ -233,18 +250,38 @@ def main() -> None:
             # steal ~18% of user time in /proc/stat): any single run can be
             # robbed mid-build.  Standard practice on noisy hosts: take the
             # MINIMUM of N runs per leg (least-interfered run = closest to
-            # the machine's true throughput); all runs are recorded.
+            # the machine's true throughput); all runs are recorded with
+            # their measured steal ratio.  Legs run INTERLEAVED (hi, lo, hi,
+            # lo, ...) so a steal burst cannot bias one whole leg the way a
+            # grouped schedule can; if a leg's best run was still
+            # steal-polluted (ratio above KIR_BENCH_MAX_STEAL), up to
+            # KIR_BENCH_SCALE_EXTRA extra runs retry it.
             n_runs = int(os.environ.get("KIR_BENCH_SCALE_RUNS", "3"))
-            runs_hi = [
-                b["build_sec"] for b in
-                (build_in_subprocess(hi, scale_docs) for _ in range(n_runs))
-                if b
-            ]
-            runs_lo = [
-                b["build_sec"] for b in
-                (build_in_subprocess(lo, scale_docs) for _ in range(n_runs))
-                if b
-            ]
+            max_steal = float(os.environ.get("KIR_BENCH_MAX_STEAL", "0.03"))
+            n_extra = int(os.environ.get("KIR_BENCH_SCALE_EXTRA", "2"))
+            legs: dict[int, list[dict]] = {hi: [], lo: []}
+            for _ in range(n_runs):
+                for c in (hi, lo):
+                    b = build_in_subprocess(c, scale_docs)
+                    if b:
+                        legs[c].append(b)
+            for c in (hi, lo):
+                extra = n_extra
+                while (
+                    extra > 0
+                    and legs[c]
+                    and min(legs[c], key=lambda b: b["build_sec"])[
+                        "steal_ratio"
+                    ] > max_steal
+                ):
+                    b = build_in_subprocess(c, scale_docs)
+                    if b:
+                        legs[c].append(b)
+                    extra -= 1
+            runs_hi = [b["build_sec"] for b in legs[hi]]
+            runs_lo = [b["build_sec"] for b in legs[lo]]
+            steal_hi = [b["steal_ratio"] for b in legs[hi]]
+            steal_lo = [b["steal_ratio"] for b in legs[lo]]
             if not runs_hi or not runs_lo:
                 # a leg with zero completed runs cannot be measured — report
                 # the failure instead of crashing on min([]) and move on
@@ -267,6 +304,7 @@ def main() -> None:
                     "build_sec_low": min(runs_lo),
                     "build_sec_high": min(runs_hi),
                     "runs_low": runs_lo, "runs_high": runs_hi,
+                    "steal_ratio_low": steal_lo, "steal_ratio_high": steal_hi,
                     "docs_per_sec_low": round(thr_lo, 1),
                     "docs_per_sec_high": round(thr_hi, 1),
                     "efficiency": round(eff, 3),
@@ -274,9 +312,11 @@ def main() -> None:
                     "note": (
                         "compute-dominated pair (north_rule two-cluster-size "
                         f"criterion, sandbox proxy: same job at {lo} vs {hi} "
-                        "cores, fresh subprocess each, warm page cache, best "
-                        f"of {n_runs} runs per leg — shared-VM CPU steal "
-                        "makes single runs unreliable)"
+                        "cores, fresh subprocess each, warm page cache, "
+                        "legs interleaved in time, min of "
+                        f"{len(runs_lo)}/{len(runs_hi)} runs per leg with "
+                        "per-run hypervisor steal ratios recorded — "
+                        "shared-VM CPU steal makes single runs unreliable)"
                     ),
                 }
                 with open(cache_key, "w") as f:
