@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boe_emb_bins": q_boe_emb_bins,
         "salience_eval": q_salience_eval,
         "les_lm": q_les_lm,
+        "qdetext_lm": q_qdetext_lm,
     }
 
 
@@ -780,6 +781,7 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "boe_emb_bins": _boe_emb_sql(),
         "salience_eval": _salience_sql(),
         "les_lm": _les_lm_sql(),
+        "qdetext_lm": _qdetext_lm_sql(),
     }
 
 
@@ -1110,4 +1112,157 @@ SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
        CAST(floor(avg(s) * 1000000.0) AS BIGINT) AS value_e6
 FROM scored GROUP BY qid, doc_id
 ORDER BY qid, docno
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: QDocEText family (lm model, name field) under the gate
+
+
+def q_qdetext_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QDocEText LeToR family (q_de_text.py:84-306) with deterministic
+    pseudo-annotations: doc entities = terms with tf>=3 (one annotation
+    occurrence per tf count, annotation score = len(e)/10), entity `name`
+    text = the entity term itself (pre-tokenized e_text_terms row, tf=1,
+    doc_len=1).  All three feature groups run under the SQL oracle with
+    the lm model: IndriScores Max/Wsum/Top-3(-20 pad), TopTf/TopAnaTf of
+    the top-3 entities by lm(q, name), and the expanded-pseudo-doc
+    TopExpTextSim."""
+    from .operators.corpus_stats import term_stats
+    from .operators.letor_families import q_de_text_features
+
+    dt = _doc_tf(spark, sf_dir)
+    ents_occ = (
+        dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 30))
+        .select(
+            "doc_id", F.col("term").alias("e"),
+            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("_i"),
+        )
+    )
+    doc_ents = ents_occ.select("doc_id", F.lit("bodyText").alias("field"), "e")
+    body_anno = ents_occ.select(
+        "doc_id", "e", (F.length("e") / F.lit(10.0)).alias("score")
+    )
+    e_text_terms = (
+        doc_ents.select("e").distinct().select(
+            "e", F.lit("name").alias("e_field"), F.col("e").alias("term"),
+            F.lit(1).cast("long").alias("tf"),
+            F.lit(1).cast("long").alias("doc_len"),
+        )
+    )
+    queries_df = spark.createDataFrame(
+        [(str(q), text) for q, text in ENTRY_QUERIES], "qid string, query string"
+    )
+    pairs = queries_df.select("qid").crossJoin(
+        doc_ents.select("doc_id").distinct()
+    )
+    feats = q_de_text_features(
+        queries_df, pairs, doc_ents, body_anno, e_text_terms, term_stats(dt),
+        total_df=1.0, avg_doc_len=1.0,  # unused by the lm formula
+        e_fields=("name",), models=("lm",), top_k=3,
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno", "feature")
+
+
+def _qdetext_lm_sql() -> str:
+    from .parity import _SQL_TOK, _sql_queries_values
+
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qterms AS (
+  SELECT qid, term, count(*)::BIGINT AS q_tf FROM q_raw GROUP BY qid, term
+),
+ents AS (
+  SELECT doc_id, term AS e, tf AS e_tf FROM tf WHERE tf >= 3 AND doc_id < 30
+),
+pairs AS (
+  SELECT q.qid, d.doc_id
+  FROM (SELECT DISTINCT qid FROM qterms) q
+  CROSS JOIN (SELECT DISTINCT doc_id FROM ents) d
+),
+-- lm(query, entity `name` text {{e:1}}, dl=1), per-q-term sum
+entscore AS (
+  SELECT qq.qid, al.e,
+         sum(qq.q_tf * ln(greatest(
+             greatest(CASE WHEN qq.term = al.e THEN 1 ELSE 0 END, 0.1) / 1,
+             1e-10))) AS lm
+  FROM (SELECT DISTINCT e FROM ents) al
+  CROSS JOIN qterms qq
+  GROUP BY qq.qid, al.e
+),
+perent AS (
+  SELECT p.qid, p.doc_id, e.e, e.e_tf, s.lm
+  FROM pairs p
+  JOIN ents e ON e.doc_id = p.doc_id
+  JOIN entscore s ON s.qid = p.qid AND s.e = e.e
+),
+zt AS (SELECT qid, doc_id, sum(e_tf) AS z FROM perent GROUP BY qid, doc_id),
+pooled AS (
+  SELECT pe.qid, pe.doc_id, max(pe.lm) AS mx, sum(pe.lm * pe.e_tf / z.z) AS wsum
+  FROM perent pe JOIN zt z ON z.qid = pe.qid AND z.doc_id = pe.doc_id
+  GROUP BY pe.qid, pe.doc_id
+),
+topv AS (
+  SELECT qid, doc_id, lm,
+         row_number() OVER (PARTITION BY qid, doc_id ORDER BY lm DESC) AS r
+  FROM perent
+),
+rank3 AS (
+  SELECT * FROM (
+    SELECT qid, doc_id, e,
+           row_number() OVER (
+             PARTITION BY qid, doc_id ORDER BY lm DESC, e ASC) AS r
+    FROM perent
+  ) WHERE r <= 3
+),
+nums AS (SELECT unnest(range(1, 1001)) AS i),
+anno AS (
+  SELECT e2.doc_id, e2.e, length(e2.e) / 10.0 AS score
+  FROM ents e2 JOIN nums ON nums.i <= e2.e_tf
+),
+bodylm AS (
+  SELECT doc_id, e, count(*)::DOUBLE AS btf, sum(score) AS bana
+  FROM anno GROUP BY doc_id, e
+),
+expstats AS (SELECT qid, doc_id, count(*) AS dl FROM rank3 GROUP BY qid, doc_id),
+expscore AS (
+  SELECT qq.qid, es.doc_id,
+         sum(qq.q_tf * ln(greatest(
+             greatest(CASE WHEN r.e IS NOT NULL THEN 1 ELSE 0 END, 0.1) / es.dl,
+             1e-10))) AS lm
+  FROM expstats es
+  JOIN qterms qq ON qq.qid = es.qid
+  LEFT JOIN rank3 r
+    ON r.qid = es.qid AND r.doc_id = es.doc_id AND r.e = qq.term
+  GROUP BY qq.qid, es.doc_id
+)
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno, feature,
+       CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6
+FROM (
+  SELECT qid, doc_id, 'QDocETextBodytextMaxNameLm' AS feature, mx AS value
+  FROM pooled
+  UNION ALL
+  SELECT qid, doc_id, 'QDocETextBodytextWsumNameLm', wsum FROM pooled
+  UNION ALL
+  SELECT t.qid, t.doc_id,
+         'QDocETextBodytextNameLmTop' || k.i::VARCHAR,
+         coalesce(tv.lm, -20.0)
+  FROM pooled t
+  CROSS JOIN (VALUES (1), (2), (3)) k(i)
+  LEFT JOIN topv tv ON tv.qid = t.qid AND tv.doc_id = t.doc_id AND tv.r = k.i
+  UNION ALL
+  SELECT r.qid, r.doc_id, 'QDocETextnameTop' || (r.r - 1)::VARCHAR || 'Tf', b.btf
+  FROM rank3 r JOIN bodylm b ON b.doc_id = r.doc_id AND b.e = r.e
+  UNION ALL
+  SELECT r.qid, r.doc_id, 'QDocETextnameTop' || (r.r - 1)::VARCHAR || 'AnaTf',
+         b.bana
+  FROM rank3 r JOIN bodylm b ON b.doc_id = r.doc_id AND b.e = r.e
+  UNION ALL
+  SELECT qid, doc_id, 'QDocETextExpNameLm', lm FROM expscore
+)
+ORDER BY qid, docno, feature
 """
