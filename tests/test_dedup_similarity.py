@@ -220,3 +220,38 @@ def test_bucket_cap_drops_oversized_buckets(spark):
     assert lsh_candidate_pairs(sig, max_bucket=None).count() == 30 * 29 // 2
     over = oversized_lsh_buckets(sig, max_bucket=10).collect()
     assert over and all(r["n_docs"] == 30 for r in over)
+
+
+def test_rp_lsh_recall_floor(spark):
+    """RP-LSH recall is measured, and now asserted: on the driver testdata
+    embeddings (uniform random — LSH's hardest case), the (32 planes,
+    8 bands) config must keep recall@10 above 0.5 vs brute force, and
+    widening bands (4 -> 8 at 32 planes) must raise recall.  Deterministic:
+    planes are md5-derived, no RNG state.  Full grid artifact:
+    scripts/rp_lsh_recall.py -> BENCH/rp_lsh_recall.json."""
+    import pyspark.sql.functions as F
+
+    from knowledgeir_spark.operators.similarity import (
+        brute_force_topk,
+        rp_lsh_topk,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (
+        vecs.orderBy("vec_id").limit(20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(vecs, queries, k=10).collect()
+    }
+
+    def recall(n_planes, n_bands):
+        ann = rp_lsh_topk(
+            vecs, queries, k=10, n_planes=n_planes, n_bands=n_bands, dim=64
+        ).collect()
+        return sum(1 for r in ann if (r["q_id"], r["vec_id"]) in exact) / len(exact)
+
+    r_38 = recall(32, 8)
+    assert r_38 >= 0.5, r_38
+    assert r_38 > recall(32, 4)
