@@ -411,6 +411,55 @@ def _score_group_dense(
     def qf(x: float) -> int:  # the engine-wide quantized ranking key
         return math.floor(math.log(max(x, 1.0)) * _RANK_Q)
 
+    by_bound = sorted(scored_terms, key=lambda d: -d["bound"])
+    score_sel = np.zeros(id_space, dtype=np.float64)
+    seen = np.zeros(id_space, dtype=bool)
+    decoded: dict[str, tuple] = {}
+
+    if len(by_bound) == 1:
+        # SINGLE scored term (the 2M-doc tail driver: one mid-idf head term
+        # whose full posting list was decoded for a top-20): decode its
+        # blocks in descending block-bound order and STOP once the next
+        # block's bound quantizes strictly below the running k-th best
+        # exact score — a doc in an undecoded block scores <= bound, so
+        # qf(score) <= qf(bound) < qf(kth) excludes it even on a doc_id
+        # tie.  Exact: single-term scores are complete per decoded doc.
+        d = by_bound[0]
+        g = d["g"]
+        bounds = S.bm25_term_bound(
+            g["max_tf"].to_numpy(np.float64),
+            g["min_doc_len"].to_numpy(np.float64),
+            d["df"], n, avgdl,
+        )
+        order = np.argsort(-bounds, kind="stable")
+        pos, batch = 0, 64
+        while pos < len(order):
+            take = order[pos:pos + batch]
+            ids, tfs, dls = decode(g.iloc[take])
+            seen[ids] = True
+            score_sel[ids] += S.bm25_term_contrib(
+                tfs.astype(np.float64), d["df"], dls.astype(np.float64),
+                n, avgdl,
+            )
+            pos += len(take)
+            batch *= 2  # geometric growth bounds the re-check cost
+            if pos >= len(order):
+                break
+            cand_sel = score_sel[seen]
+            if len(cand_sel) >= k:
+                kth = float(
+                    np.partition(cand_sel, len(cand_sel) - k)[len(cand_sel) - k]
+                )
+                if qf(float(bounds[order[pos]])) < qf(kth):
+                    break
+        score = score_sel
+        _LAST_DENSE_STATS.clear()
+        _LAST_DENSE_STATS.update(
+            qid=qid, n_scored_terms=1, n_essential=1,
+            blocks_total=len(g), blocks_decoded=pos,
+        )
+        return _dense_topk(qid, score, seen, deferred, k, codec)
+
     # SELECTION (MaxScore at block-metadata granularity — the mid-idf
     # head-term lever): decode terms in descending bound order; once the
     # summed bounds of the remaining terms quantize strictly below the
@@ -419,10 +468,6 @@ def _score_group_dense(
     # decoded "essential" terms can never enter the top-k — even on a
     # doc_id tie — so the remaining (head) terms only need blocks whose
     # doc-id range contains an already-seen candidate.
-    by_bound = sorted(scored_terms, key=lambda d: -d["bound"])
-    score_sel = np.zeros(id_space, dtype=np.float64)
-    seen = np.zeros(id_space, dtype=bool)
-    decoded: dict[str, tuple] = {}
     rest_bound = sum(d["bound"] for d in by_bound)
     n_ess = 0
     for d in by_bound:
@@ -480,6 +525,19 @@ def _score_group_dense(
             tfs.astype(np.float64), float(t["df"]), dls.astype(np.float64),
             n, avgdl,
         )
+    return _dense_topk(qid, score, seen, deferred, k, codec)
+
+
+def _dense_topk(
+    qid: str,
+    score: np.ndarray,
+    seen: np.ndarray,
+    deferred: list,
+    k: int,
+    codec: str,
+) -> pd.DataFrame:
+    """Shared dense-scorer tail: zero-idf candidacy fill, bm25 finalize,
+    quantized-key pre-selection, top-k."""
     cand = np.flatnonzero(seen)
     # a zero-idf term's docs all score exactly 0: they can only reach the
     # top-k when fewer than k positive-quantized scores exist, so their

@@ -310,3 +310,39 @@ def test_dense_scorer_maxscore_no_skip_when_unsafe():
     brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
     assert list(dense["doc_id"]) == list(brute["doc_id"])
     assert list(dense["score"]) == list(brute["score"])
+
+
+def test_dense_scorer_single_term_block_cut():
+    """Single scored-term queries (the 2M-doc serving tail: one mid-idf
+    head term) must decode blocks in bound order and stop once the next
+    block bound quantizes below the k-th best — identical output to the
+    decode-everything scorer."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    docs = np.arange(0, 40000, 2, dtype=np.uint64)
+    for bi, s in enumerate(range(0, len(docs), 128)):
+        ids = docs[s:s + 128]
+        tfs = np.ones(len(ids))
+        dls = np.full(len(ids), 20)
+        if bi == 37:  # one hot block: short docs with high tf
+            tfs[:8] = 8
+            dls[:8] = 10
+        blk = encode_block(ids, tfs, dls)
+        blk.update(term="solo", qid="1")
+        rows.append(blk)
+    pdf = pd.DataFrame(rows)
+    q_terms = {"1": [{"term": "solo", "term_idx": 0, "q_tf": 1, "df": 20000.0}]}
+    n, avgdl, k = 100000.0, 20.0, 5
+
+    dense = Q._score_group_dense(pdf, q_terms, n, avgdl, k, "varint", 40000)
+    stats = dict(Q._LAST_DENSE_STATS)
+    assert stats["blocks_decoded"] < stats["blocks_total"] * 0.5, stats
+
+    brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+    assert list(dense["doc_id"]) == list(brute["doc_id"])
+    assert list(dense["score"]) == list(brute["score"])
