@@ -5,9 +5,12 @@ The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning) is REAL and tested; the actual codec work is
 STUBBED because image/audio libraries are not in this container:
 
+- WAV/PCM audio decode + feature extraction is REAL (stdlib ``wave`` +
+  numpy — no external library needed): see _decode_wav / audio_features;
 - when Pillow is importable, real IMAGE decode (width/height) and bilinear
   resize are wired (import-try gate; tested where PIL exists, skipped
-  otherwise); audio/video codecs (librosa/ffmpeg) remain stubbed;
+  otherwise); video and compressed-audio codecs (ffmpeg/librosa) remain
+  stubbed;
 - otherwise media in the engine's deterministic FAKE container format
   (``FAKEIMG``/``FAKEVID``/``FAKEAUD`` headers, see _parse_fake) is decoded
   for real, and anything else raises NotImplementedError — a clearly marked
@@ -55,16 +58,57 @@ def _parse_fake(data: bytes) -> tuple[str, int, int]:
     return magic.decode(), a, b
 
 
+def _is_wav(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Pure-stdlib WAV (PCM) decode: (n_frames, rate, n_channels,
+    sampwidth, samples float64 in [-1, 1], channel-interleaved)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data))) as w:
+        n, rate, ch, width = (
+            w.getnframes(), w.getframerate(), w.getnchannels(), w.getsampwidth()
+        )
+        raw = w.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit: widen each 3-byte little-endian frame
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int32))
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        ).astype(np.float64) / 8388608.0
+    return n, rate, ch, width, x
+
+
 def _decode_one(data: bytes) -> dict:
-    """-> {kind, width/height | frames/fps, content_hash}.  Real image
-    formats decode through Pillow when importable (kind = 'IMAGE'); the
-    FAKE container formats always decode; anything else is the explicit
-    stub boundary (NotImplementedError — video/audio codecs are not in
-    this container)."""
+    """-> {kind, width/height | frames/fps | audio frames/rate,
+    content_hash}.  Real image formats decode through Pillow when
+    importable (kind = 'IMAGE'); WAV audio decodes through the stdlib wave
+    module (kind = 'AUDIO' — no external library needed); the FAKE
+    container formats always decode; anything else is the explicit stub
+    boundary (NotImplementedError — video and compressed-audio codecs are
+    not in this container)."""
     if data is None or len(data) < 15:
         raise NotImplementedError("real media decode requires PIL/ffmpeg (stubbed)")
     head = bytes(data[:7])
     if head not in FAKE_MAGICS:
+        if _is_wav(bytes(data)):
+            n, rate, _ch, _w, _x = _decode_wav(bytes(data))
+            return {
+                "kind": "AUDIO",
+                "dim_a": int(n),
+                "dim_b": int(rate),
+                "content_hash": hashlib.md5(bytes(data)).hexdigest(),
+            }
         if _HAVE_PIL:
             import io
 
@@ -191,3 +235,74 @@ def sample_frames(media: DataFrame, every_k: int = 5) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         run, "media_id long, frame_idx long"
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_sec double, sample_rate int, n_channels int, "
+    "rms double, zero_crossing_rate double, peak double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for WAV/PCM rows — stdlib wave decode,
+    vectorized numpy features (no external audio library):
+
+      duration_sec, sample_rate, n_channels,
+      rms                 root-mean-square amplitude in [-1, 1] units,
+      zero_crossing_rate  fraction of adjacent-sample sign changes
+                          (mono-mixed), the classic speech/music/noise
+                          discriminator,
+      peak                max |amplitude|.
+
+    FAKEAUD rows yield deterministic pseudo-features (payload-hash derived,
+    duration from the header) so pipelines are testable without media
+    libraries; compressed formats (mp3/ogg/flac) raise NotImplementedError
+    at the explicit stub boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                if _is_wav(data):
+                    n, rate, ch, _w, x = _decode_wav(data)
+                    mono = (
+                        x.reshape(-1, ch).mean(axis=1) if ch > 1 and len(x) else x
+                    )
+                    if len(mono):
+                        rms = float(np.sqrt(np.mean(mono * mono)))
+                        peak = float(np.max(np.abs(mono)))
+                        zc = (
+                            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                            if len(mono) > 1 else 0.0
+                        )
+                    else:
+                        rms = peak = zc = 0.0
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "duration_sec": n / rate if rate else 0.0,
+                            "sample_rate": rate, "n_channels": ch,
+                            "rms": rms, "zero_crossing_rate": zc, "peak": peak,
+                        }
+                    )
+                elif data[:7] == b"FAKEAUD":
+                    _magic, n, rate = _parse_fake(data)
+                    h = hashlib.md5(data).digest()
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "duration_sec": n / rate if rate else 0.0,
+                            "sample_rate": rate, "n_channels": 1,
+                            "rms": h[0] / 255.0,
+                            "zero_crossing_rate": h[1] / 255.0,
+                            "peak": h[2] / 255.0,
+                        }
+                    )
+                else:
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg/librosa (stubbed)"
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "data").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -200,3 +200,94 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     for r in rows:  # memory sink preserves batch order; later wins
         final[r["user_id"]] = (r["n_sessions"], r["n_events"])
     assert final == expected
+
+
+def _make_wav(freq_hz: float, seconds: float, rate: int = 8000,
+              channels: int = 1, width: int = 2, amp: float = 0.5) -> bytes:
+    """Stdlib-only sine-wave WAV (the test needs no audio library either)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(seconds * rate)) / rate
+    x = amp * np.sin(2 * np.pi * freq_hz * t)
+    if width == 2:
+        pcm = (x * 32767).astype("<i2")
+    elif width == 1:
+        pcm = ((x * 127) + 128).astype(np.uint8)
+    else:
+        raise ValueError(width)
+    frames = np.repeat(pcm, channels).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_decode_and_features_real_wav(spark):
+    """WAV decode is REAL (stdlib wave + numpy): duration, rate, rms and
+    zero-crossing rate of synthesized sine waves must match theory."""
+    import math
+
+    import pytest
+
+    from knowledgeir_spark.multimodal.binaryops import (
+        audio_features,
+        decode_media,
+    )
+
+    rows = [
+        (1, _make_wav(440.0, 1.0, rate=8000)),           # A4, 16-bit mono
+        (2, _make_wav(100.0, 2.0, rate=8000, amp=0.25)),  # quieter, longer
+        (3, _make_wav(440.0, 0.5, rate=8000, channels=2)),  # stereo
+        (4, _make_wav(440.0, 0.25, rate=8000, width=1)),  # 8-bit
+    ]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert dec[1]["kind"] == "AUDIO"
+    assert dec[1]["dim_a"] == 8000 and dec[1]["dim_b"] == 8000
+    assert dec[2]["dim_a"] == 16000
+
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    f1 = feats[1]
+    assert f1["duration_sec"] == pytest.approx(1.0)
+    assert f1["sample_rate"] == 8000 and f1["n_channels"] == 1
+    # sine RMS = amp/sqrt(2); quantized 16-bit -> loose tolerance
+    assert f1["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=0.01)
+    # zero crossings of a 440 Hz sine at 8 kHz: 2*440 per second
+    assert f1["zero_crossing_rate"] == pytest.approx(880 / 8000, rel=0.02)
+    assert f1["peak"] == pytest.approx(0.5, rel=0.01)
+
+    f2 = feats[2]
+    assert f2["duration_sec"] == pytest.approx(2.0)
+    assert f2["rms"] == pytest.approx(0.25 / math.sqrt(2), rel=0.01)
+
+    assert feats[3]["n_channels"] == 2
+    assert feats[3]["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=0.01)
+    assert feats[4]["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=0.02)
+
+
+def test_audio_features_stub_boundary(spark):
+    """Compressed audio stays an explicit stub: NotImplementedError, not
+    silent garbage; FAKEAUD rows keep deterministic pseudo-features."""
+    import pytest
+
+    from knowledgeir_spark.multimodal.binaryops import audio_features
+
+    fake = b"FAKEAUD" + __import__("struct").pack("<II", 16000, 8000) + b"x" * 16
+    media = spark.createDataFrame(
+        [(1, fake)], "media_id long, data binary"
+    )
+    r = audio_features(media).collect()[0]
+    assert r["duration_sec"] == pytest.approx(2.0)
+
+    bad = spark.createDataFrame(
+        [(2, b"ID3\x04\x00" + b"\x00" * 64)], "media_id long, data binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        audio_features(bad).collect()
