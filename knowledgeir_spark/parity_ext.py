@@ -744,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salience_eval": q_salience_eval,
         "les_lm": q_les_lm,
         "qdetext_lm": q_qdetext_lm,
+        "windowed_events": q_windowed_events,
+        "esr_bins": q_esr_bins,
     }
 
 
@@ -782,6 +784,8 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "salience_eval": _salience_sql(),
         "les_lm": _les_lm_sql(),
         "qdetext_lm": _qdetext_lm_sql(),
+        "windowed_events": _WINDOWED_EVENTS_SQL,
+        "esr_bins": _esr_sql(),
     }
 
 
@@ -1264,5 +1268,166 @@ FROM (
   UNION ALL
   SELECT qid, doc_id, 'QDocETextExpNameLm', lm FROM expscore
 )
+ORDER BY qid, docno, feature
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: windowed event counts (the streaming agg surface,
+# batch-checked — streaming/incremental.windowed_event_counts is the same
+# DataFrame program under readStream; its streaming ≡ batch equivalence is
+# pytest-asserted in test_multimodal_streaming.py)
+
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parity import _pin_utc
+    from .streaming.incremental import windowed_event_counts
+
+    _pin_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="5 minutes")
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n",
+        F.floor(F.col("total_value") * 100).cast("long").alias("total_value_e2"),
+    ).orderBy("win_start", "event_type")
+
+
+_WINDOWED_EVENTS_SQL = """
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type, count(*)::BIGINT AS n,
+       CAST(floor(sum(value) * 100) AS BIGINT) AS total_value_e2
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: ESR family (weighted similarity bins) under the gate
+
+
+def q_esr_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESR LeToR family (ESR.py:93-244) — the weighted flavor of the shared
+    similarity-bin core already gated as boe_emb_bins: doc entities = terms
+    with tf>=3 weighted by their tf (use_entity_weight), log-binned, with
+    the 'Bin_%03d' names.  Same deterministic md5->embeddings-row entity
+    vectors as boe_emb_bins."""
+    from .operators.letor_families import esr_bin_features, form_bins
+
+    dt = _doc_tf(spark, sf_dir)
+    d_ents = dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 40)).select(
+        "doc_id", F.lit("bodyText").alias("field"), F.col("term").alias("e"),
+        F.col("tf").cast("double").alias("e_tf"),
+    )
+    q_rows = sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                     for t in text.lower().split()})
+    q_ents = spark.createDataFrame(q_rows, "qid string, e string")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    all_terms = d_ents.select("e").union(q_ents.select("e")).distinct()
+    ent_emb = (
+        all_terms.withColumn(
+            "vec_id",
+            F.conv(F.substring(F.md5(F.col("e").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % n_vec,
+        )
+        .join(emb, "vec_id")
+        .select("e", F.col("embedding").alias("vector"))
+    )
+    pairs = q_ents.select("qid").distinct().crossJoin(
+        d_ents.select("doc_id").distinct()
+    )
+    feats = esr_bin_features(
+        pairs, q_ents, d_ents, ent_emb,
+        bins=form_bins(6, 1.0), bin_func="log", pools=("max", "mean"),
+        weight_col="e_tf",
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno", "feature")
+
+
+def _esr_sql() -> str:
+    from .operators.letor_families import form_bins
+
+    bins = form_bins(6, 1.0)
+    case = "CASE " + " ".join(
+        f"WHEN s >= {b!r} THEN {i}" for i, b in enumerate(bins)
+    ) + " ELSE -1 END"
+    bins_vals = ", ".join(f"({i})" for i in range(len(bins)))
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+dents AS (
+  SELECT doc_id, term AS e, tf::DOUBLE AS e_tf
+  FROM tf WHERE tf >= 3 AND doc_id < 40
+),
+qents AS (SELECT DISTINCT qid, term AS e FROM q_raw),
+allt AS (SELECT DISTINCT e FROM (SELECT e FROM dents UNION SELECT e FROM qents)),
+nv AS (SELECT count(*) AS n FROM embeddings),
+ev AS (
+  SELECT a.e, emb.embedding
+  FROM allt a CROSS JOIN nv
+  JOIN embeddings emb
+    ON emb.vec_id = ('0x' || substr(md5(a.e), 1, 8))::BIGINT % nv.n
+),
+ex AS (
+  SELECT e, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM ev
+),
+norms AS (SELECT e, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY e),
+need AS (
+  SELECT DISTINCT q.e AS qe, d.e AS de FROM qents q CROSS JOIN dents d
+),
+dots AS (
+  SELECT n.qe, n.de, sum(a.x * b.x) AS dot
+  FROM need n JOIN ex a ON a.e = n.qe JOIN ex b ON b.e = n.de AND b.i = a.i
+  GROUP BY n.qe, n.de
+),
+vecs AS (SELECT e, embedding FROM ev),
+cosv AS (
+  SELECT d.qe, d.de,
+         CASE WHEN vq.embedding = vd.embedding THEN 1.0
+              ELSE d.dot / (nq.nrm * nd.nrm) END AS cos
+  FROM dots d
+  JOIN norms nq ON nq.e = d.qe JOIN norms nd ON nd.e = d.de
+  JOIN vecs vq ON vq.e = d.qe JOIN vecs vd ON vd.e = d.de
+),
+persim AS (
+  SELECT q.qid, dd.doc_id, dd.e, dd.e_tf,
+         max(c.cos) AS sim_max, avg(c.cos) AS sim_mean
+  FROM qents q
+  JOIN cosv c ON c.qe = q.e
+  JOIN dents dd ON dd.e = c.de
+  GROUP BY q.qid, dd.doc_id, dd.e, dd.e_tf
+),
+stacked AS (
+  SELECT qid, doc_id, 'Max' AS pool, sim_max AS s, e_tf FROM persim
+  UNION ALL
+  SELECT qid, doc_id, 'Mean' AS pool, sim_mean AS s, e_tf FROM persim
+),
+binned AS (
+  SELECT qid, doc_id, pool, {case} AS b, e_tf FROM stacked
+),
+counts AS (
+  SELECT qid, doc_id, pool, b, sum(e_tf)::DOUBLE AS cnt
+  FROM binned WHERE b >= 0 GROUP BY qid, doc_id, pool, b
+),
+template AS (
+  SELECT DISTINCT s.qid, s.doc_id, s.pool, bb.b
+  FROM stacked s CROSS JOIN (VALUES {bins_vals}) bb(b)
+),
+dense AS (
+  SELECT t.qid, t.doc_id, t.pool, t.b, coalesce(c.cnt, 0.0) AS cnt
+  FROM template t
+  LEFT JOIN counts c
+    ON c.qid = t.qid AND c.doc_id = t.doc_id AND c.pool = t.pool AND c.b = t.b
+)
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
+       'ESR_Bodytext_' || pool || 'Bin_' || lpad(b::VARCHAR, 3, '0') AS feature,
+       CAST(floor(ln(greatest(cnt, 1e-10)) * 1e6) AS BIGINT) AS value_e6
+FROM dense
 ORDER BY qid, docno, feature
 """
