@@ -746,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdetext_lm": q_qdetext_lm,
         "windowed_events": q_windowed_events,
         "esr_bins": q_esr_bins,
+        "es_bm25": q_es_bm25,
     }
 
 
@@ -786,6 +787,7 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "qdetext_lm": _qdetext_lm_sql(),
         "windowed_events": _WINDOWED_EVENTS_SQL,
         "esr_bins": _esr_sql(),
+        "es_bm25": _es_bm25_sql(),
     }
 
 
@@ -1430,4 +1432,95 @@ SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
        CAST(floor(ln(greatest(cnt, 1e-10)) * 1e6) AS BIGINT) AS value_e6
 FROM dense
 ORDER BY qid, docno, feature
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: ES-term-vector TermStat variant (bm25) under the gate
+
+
+def q_es_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-term-vector stats variant (ref duet_feature/base.py:241-313):
+    bm25 where each query's per-term df comes from a PREFETCHED table that
+    legitimately diverges per qid (ES df is shard-approximate).  The
+    deterministic divergence here: prefetched df = corpus df + (qid % 3),
+    so the same term scores differently under different queries — the
+    quirk the operator preserves."""
+    from .operators.es_stats import es_all_scores
+
+    dt = _doc_tf(spark, sf_dir)
+    queries_df = spark.createDataFrame(
+        [(str(q), t) for q, t in ENTRY_QUERIES], "qid string, query string"
+    )
+    dfs = dt.groupBy("term").agg(F.count("*").alias("df"))
+    q_pairs = spark.createDataFrame(
+        sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                for t in text.lower().split()}),
+        "qid string, term string",
+    )
+    q_term_df = q_pairs.join(dfs, "term", "left").select(
+        "qid", "term",
+        (F.coalesce("df", F.lit(0)).cast("double")
+         + (F.col("qid").cast("long") % 3).cast("double")).alias("df"),
+    )
+    row = dt.select("doc_id", "doc_len").distinct().agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
+    ).collect()[0]
+    n, total_len = int(row["n"]), int(row["total_len"])
+    scores = es_all_scores(
+        queries_df, dt, q_term_df,
+        total_df=float(n), avg_doc_len=total_len / n, models=("bm25",),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.floor(F.col("bm25") * 1e9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("qid").cast("long").alias("qid"), "doc_id", "rank",
+            F.floor(F.col("bm25") * 1e6).cast("long").alias("score_e6"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _es_bm25_sql() -> str:
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM dl)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE / (SELECT count(*) FROM dl)
+           AS avgdl
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qdf AS (
+  SELECT qd.qid, qd.term,
+         coalesce(dfs.df, 0)::DOUBLE + (qd.qid % 3)::DOUBLE AS df
+  FROM qd LEFT JOIN dfs USING (term)
+),
+matched AS (
+  SELECT q.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, q.df
+  FROM qdf q
+  JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+    row_number() OVER (PARTITION BY qid ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+    CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM scored
+)
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
 """
