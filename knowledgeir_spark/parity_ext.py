@@ -747,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "esr_bins": q_esr_bins,
         "es_bm25": q_es_bm25,
+        "pretrain": q_pretrain,
     }
 
 
@@ -788,6 +789,7 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "windowed_events": _WINDOWED_EVENTS_SQL,
         "esr_bins": _esr_sql(),
         "es_bm25": _es_bm25_sql(),
+        "pretrain": _pretrain_sql(),
     }
 
 
@@ -1523,4 +1525,86 @@ ranked AS (
 )
 SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
 ORDER BY qid, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: Pretrain family (raw norm, sum/max/mean pools) under
+# the gate
+
+
+def q_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretrain LeToR family (pre_trained.py:92-160): per-doc-entity
+    pre-trained feature vectors -> per-query-entity lookup with the -30
+    default vector -> pooling over query entities.  Deterministic vectors:
+    entity e in doc d carries [tf, len(e), tf*len(e), 1.0] — all
+    INTEGER-valued on purpose: sums of exactly-representable doubles are
+    order-independent, so the cross-engine floor(x*1e6) quantization cannot
+    land one quantum apart (a fractional dim measurably did)."""
+    from .operators.letor_families import pretrain_features
+
+    dt = _doc_tf(spark, sf_dir)
+    ents = dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 30))
+    doc_ent_feats = ents.select(
+        "doc_id", F.lit("bodyText").alias("field"),
+        F.col("term").alias("e"),
+        F.array(
+            F.col("tf").cast("double"),
+            F.length("term").cast("double"),
+            (F.col("tf") * F.length("term")).cast("double"),
+            F.lit(1.0),
+        ).alias("features"),
+    )
+    q_rows = sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                     for t in text.lower().split()})
+    q_ents = spark.createDataFrame(q_rows, "qid string, e string")
+    pairs = q_ents.select("qid").distinct().crossJoin(
+        ents.select("doc_id").distinct()
+    )
+    feats = pretrain_features(
+        pairs, q_ents, doc_ent_feats, feature_dim=4,
+        pools=("sum", "max", "mean"),
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno", "feature")
+
+
+def _pretrain_sql() -> str:
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+ents AS (SELECT doc_id, term AS e, tf FROM tf WHERE tf >= 3 AND doc_id < 30),
+featl AS (
+  SELECT doc_id, e, 0 AS p, tf::DOUBLE AS val FROM ents
+  UNION ALL SELECT doc_id, e, 1, length(e)::DOUBLE FROM ents
+  UNION ALL SELECT doc_id, e, 2, (tf * length(e))::DOUBLE FROM ents
+  UNION ALL SELECT doc_id, e, 3, 1.0 FROM ents
+),
+qe AS (SELECT DISTINCT qid, term AS e FROM q_raw),
+docs AS (SELECT DISTINCT doc_id FROM ents),
+pairsq AS (SELECT q.qid, d.doc_id, q.e FROM qe q CROSS JOIN docs d),
+dims AS (SELECT unnest(range(0, 4)) AS p),
+cell AS (
+  SELECT pq.qid, pq.doc_id, pq.e, dm.p, coalesce(f.val, -30.0) AS val
+  FROM pairsq pq CROSS JOIN dims dm
+  LEFT JOIN featl f ON f.doc_id = pq.doc_id AND f.e = pq.e AND f.p = dm.p
+),
+agg AS (
+  SELECT qid, doc_id, p,
+         sum(val) AS s, max(val) AS mx, sum(val) / count(*) AS mn
+  FROM cell GROUP BY qid, doc_id, p
+),
+stacked AS (
+  SELECT qid, doc_id, p, '_Sum' AS suffix, s AS value FROM agg
+  UNION ALL SELECT qid, doc_id, p, '_Max', mx FROM agg
+  UNION ALL SELECT qid, doc_id, p, '_Mean', mn FROM agg
+)
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
+       'Pretrain_bodyText_salience_feature_' || lpad(p::VARCHAR, 3, '0')
+         || suffix AS feature,
+       CAST(floor(value * 1e6) AS BIGINT) AS value_e6
+FROM stacked
+ORDER BY qid, docno, feature
 """
