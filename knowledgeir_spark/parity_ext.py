@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esr_bins": q_esr_bins,
         "es_bm25": q_es_bm25,
         "pretrain": q_pretrain,
+        "pagerank": q_pagerank,
     }
 
 
@@ -790,6 +791,7 @@ FROM g GROUP BY user_id ORDER BY user_id""",
         "esr_bins": _esr_sql(),
         "es_bm25": _es_bm25_sql(),
         "pretrain": _pretrain_sql(),
+        "pagerank": _pagerank_sql(),
     }
 
 
@@ -1606,5 +1608,156 @@ SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno,
          || suffix AS feature,
        CAST(floor(value * 1e6) AS BIGINT) AS value_e6
 FROM stacked
+ORDER BY qid, docno, feature
+"""
+
+
+# --------------------------------------------------------------------------
+# round-3 addition: PageRank family under the gate (unrolled random walk)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank LeToR family (page_rank.py:50-150): per-doc random walk
+    over the doc-entity cosine matrix (clamped >= 0, diag 1, column-
+    stochastic), tf-weighted init, PR of the query's entities pooled
+    mean/max at steps 1/5/20.  Deterministic md5->embeddings entity
+    vectors; docs < 25 keep the 20-step SQL unroll small."""
+    from .operators.letor_families import page_rank_features
+
+    dt = _doc_tf(spark, sf_dir)
+    ents_occ = (
+        dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 25))
+        .select(
+            "doc_id", F.col("term").alias("e"),
+            F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("_i"),
+        )
+    )
+    doc_ents = ents_occ.select("doc_id", F.lit("bodyText").alias("field"), "e")
+    q_rows = sorted({(str(q), t) for q, text in ENTRY_QUERIES
+                     for t in text.lower().split()})
+    q_ents = spark.createDataFrame(q_rows, "qid string, e string")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    all_terms = doc_ents.select("e").union(q_ents.select("e")).distinct()
+    ent_emb = (
+        all_terms.withColumn(
+            "vec_id",
+            F.conv(F.substring(F.md5(F.col("e").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % n_vec,
+        )
+        .join(emb, "vec_id")
+        .select("e", F.col("embedding").alias("vector"))
+    )
+    pairs = q_ents.select("qid").distinct().crossJoin(
+        doc_ents.select("doc_id").distinct()
+    )
+    feats = page_rank_features(
+        pairs, q_ents, doc_ents, ent_emb, steps=(1, 5, 20),
+    )
+    return feats.select(
+        F.col("qid").cast("long").alias("qid"), "docno", "feature",
+        F.floor(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    ).orderBy("qid", "docno", "feature")
+
+
+def _pagerank_sql(steps: tuple[int, ...] = (1, 5, 20)) -> str:
+    max_step = max(steps)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so a 20-step
+    # chain would re-expand the whole sim pipeline once per step
+    walk_ctes = []
+    prev = "init"
+    for t in range(1, max_step + 1):
+        walk_ctes.append(
+            f"w{t} AS MATERIALIZED (\n"
+            f"  SELECT p.doc_id, p.ea AS e, sum(p.v * w.val) AS val\n"
+            f"  FROM pmat p JOIN {prev} w ON w.doc_id = p.doc_id AND w.e = p.eb\n"
+            f"  GROUP BY p.doc_id, p.ea\n)"
+        )
+        prev = f"w{t}"
+    pools = "\n  UNION ALL\n".join(
+        f"  SELECT qid, doc_id, 'PageRank_bodyText_S{s}_mean' AS feature,\n"
+        f"         sum(pr) / count(*) AS value FROM qpr{s} GROUP BY qid, doc_id\n"
+        f"  UNION ALL\n"
+        f"  SELECT qid, doc_id, 'PageRank_bodyText_S{s}_max', max(pr)\n"
+        f"  FROM qpr{s} GROUP BY qid, doc_id"
+        for s in steps
+    )
+    qpr_ctes = ",\n".join(
+        f"qpr{s} AS (\n"
+        f"  SELECT pq.qid, pq.doc_id, coalesce(w.val, 0.0) AS pr\n"
+        f"  FROM pairsq pq LEFT JOIN w{s} w\n"
+        f"    ON w.doc_id = pq.doc_id AND w.e = pq.e\n)"
+        for s in steps
+    )
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+dents AS (
+  SELECT doc_id, term AS e, tf FROM tf WHERE tf >= 3 AND doc_id < 25
+),
+qents AS (SELECT DISTINCT qid, term AS e FROM q_raw),
+allt AS (SELECT DISTINCT e FROM (SELECT e FROM dents UNION SELECT e FROM qents)),
+nv AS (SELECT count(*) AS n FROM embeddings),
+ev AS (
+  SELECT a.e, emb.embedding
+  FROM allt a CROSS JOIN nv
+  JOIN embeddings emb
+    ON emb.vec_id = ('0x' || substr(md5(a.e), 1, 8))::BIGINT % nv.n
+),
+ex AS (
+  SELECT e, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM ev
+),
+norms AS (
+  SELECT e, CASE WHEN sqrt(sum(x * x)) = 0 THEN 1.0
+                 ELSE sqrt(sum(x * x)) END AS nrm
+  FROM ex GROUP BY e
+),
+exu AS (  -- unit vectors, elementwise x/nrm (the numpy shape)
+  SELECT ex.e, ex.i, ex.x / n.nrm AS u FROM ex JOIN norms n ON n.e = ex.e
+),
+needp AS MATERIALIZED (
+  SELECT a.doc_id, a.e AS ea, b.e AS eb
+  FROM (SELECT DISTINCT doc_id, e FROM dents) a
+  JOIN (SELECT DISTINCT doc_id, e FROM dents) b ON b.doc_id = a.doc_id
+),
+dotsu AS MATERIALIZED (  -- unit-vector dots over the needed entity pairs
+  SELECT p.ea, p.eb, sum(ua.u * ub.u) AS dot
+  FROM (SELECT DISTINCT ea, eb FROM needp) p
+  JOIN exu ua ON ua.e = p.ea
+  JOIN exu ub ON ub.e = p.eb AND ub.i = ua.i
+  GROUP BY p.ea, p.eb
+),
+simraw AS MATERIALIZED (  -- doc-local cosine, diag 1, clamped >= 0
+  SELECT n.doc_id, n.ea, n.eb,
+         CASE WHEN n.ea = n.eb THEN 1.0
+              ELSE greatest(d.dot, 0.0) END AS s
+  FROM needp n JOIN dotsu d ON d.ea = n.ea AND d.eb = n.eb
+),
+colsum AS (
+  SELECT doc_id, eb, CASE WHEN sum(s) = 0 THEN 1.0 ELSE sum(s) END AS z
+  FROM simraw GROUP BY doc_id, eb
+),
+pmat AS MATERIALIZED (  -- column-stochastic walk matrix
+  SELECT sr.doc_id, sr.ea, sr.eb, sr.s / c.z AS v
+  FROM simraw sr JOIN colsum c ON c.doc_id = sr.doc_id AND c.eb = sr.eb
+),
+dtf AS (SELECT doc_id, sum(tf) AS ztf FROM dents GROUP BY doc_id),
+init AS (  -- tf-weighted init vector
+  SELECT d.doc_id, d.e, d.tf / dtf.ztf AS val
+  FROM dents d JOIN dtf ON dtf.doc_id = d.doc_id
+),
+{",".join(walk_ctes)},
+pairsq AS (
+  SELECT q.qid, d.doc_id, q.e
+  FROM qents q CROSS JOIN (SELECT DISTINCT doc_id FROM dents) d
+),
+{qpr_ctes}
+SELECT qid::BIGINT AS qid, doc_id::VARCHAR AS docno, feature,
+       CAST(floor(value * 1e6) AS BIGINT) AS value_e6
+FROM (
+{pools}
+)
 ORDER BY qid, docno, feature
 """
