@@ -1143,7 +1143,7 @@ def q_qdetext_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dt = _doc_tf(spark, sf_dir)
     ents_occ = (
-        dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 30))
+        dt.filter((F.col("tf") >= 3) & (F.col("doc_id") < 24))
         .select(
             "doc_id", F.col("term").alias("e"),
             F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("_i"),
@@ -1187,7 +1187,7 @@ qterms AS (
   SELECT qid, term, count(*)::BIGINT AS q_tf FROM q_raw GROUP BY qid, term
 ),
 ents AS (
-  SELECT doc_id, term AS e, tf AS e_tf FROM tf WHERE tf >= 3 AND doc_id < 30
+  SELECT doc_id, term AS e, tf AS e_tf FROM tf WHERE tf >= 3 AND doc_id < 24
 ),
 pairs AS (
   SELECT q.qid, d.doc_id
