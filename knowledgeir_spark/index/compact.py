@@ -6,12 +6,16 @@ to (a) restore the one-dir-per-bucket file layout, (b) merge fragmented
 small blocks (a tail term touched by many deltas), and (c) refresh
 term_stats / field_stats to cover the delta docs.
 
-Implementation: decode base+delta blocks back to long form (the inverse
-mapInPandas of the builder), then re-run the standard salted block build and
-stats stages through the StageManager — the 'postings' and 'term_stats'
-stage fingerprints include the delta list, so compaction itself is an
-idempotent, resumable commit.  field_stats scalars are updated EXACTLY from
-the per-delta stats JSONs (no re-tokenization).
+Implementation: PER-BUCKET incremental merge.  Deltas share the base's
+term-hash bucket partitioning, so only buckets with delta rows are decoded
+back to long form (the inverse mapInPandas of the builder; the base scan is
+partition-pruned to those buckets) and re-blocked; untouched bucket dirs
+carry over as hardlinks (an Iceberg partition-level replace on a real
+cluster), and term_stats rows for untouched buckets carry over via an
+anti-bucket filter union.  The stages re-run through the StageManager — the
+'postings' and 'term_stats' stage fingerprints include the delta list, so
+compaction itself is an idempotent, resumable commit.  field_stats scalars
+are updated EXACTLY from the per-delta stats JSONs (no re-tokenization).
 
 Idempotency protocol: field_stats.json carries "folded_deltas" (the list of
 delta basenames already folded AND stats-committed) and is rewritten
@@ -115,6 +119,18 @@ def _heal_interrupted_swap(mgr: StageManager) -> None:
                 os.rename(bak, old)
         elif os.path.exists(new_mp) and not os.path.isdir(new):
             os.replace(new_mp, mgr._manifest_path(stage))
+    # a committed term_stats_compacted whose postings half has FULLY swapped
+    # (crash between the two stage swaps) must be installed before compact()
+    # reads live term_stats — the per-bucket merge unions the kept live
+    # stats with recomputed ones, so a stale live term_stats here would leak
+    # into the next snapshot if a new delta arrived before recovery
+    if (
+        os.path.isdir(mgr.stage_path("term_stats_compacted"))
+        and os.path.exists(mgr._manifest_path("term_stats_compacted"))
+        and not os.path.isdir(mgr.stage_path("postings_compacted"))
+        and not os.path.exists(mgr._manifest_path("postings_compacted"))
+    ):
+        _swap_one(mgr, "term_stats")
 
 
 def _swap_one(mgr: StageManager, stage: str) -> None:
@@ -144,6 +160,28 @@ def _swap_compacted_stages(mgr: StageManager) -> None:
         _swap_one(mgr, stage)
 
 
+def _link_untouched_buckets(live: str, tmp: str, touched: set[int]) -> None:
+    """Carry bucket partitions without delta rows into the new snapshot as
+    hardlinks (copy fallback across filesystems) — no data rewrite.  On a
+    real cluster this is the metadata-only partition carry-over of an
+    Iceberg replacePartitions commit."""
+    import shutil
+
+    for bdir in sorted(glob.glob(os.path.join(live, "bucket=*"))):
+        bid = int(os.path.basename(bdir).split("=", 1)[1])
+        if bid in touched:
+            continue
+        dst = os.path.join(tmp, os.path.basename(bdir))
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(bdir):
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                os.link(os.path.join(bdir, fn), os.path.join(dst, fn))
+            except OSError:
+                shutil.copy2(os.path.join(bdir, fn), os.path.join(dst, fn))
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".__tmp__"
     with open(tmp, "w") as f:
@@ -152,10 +190,28 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 def compact(
-    spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig()
+    spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig(),
+    mode: str = "merge",
 ) -> dict:
     """Merge unfolded deltas/batch_* into the base index (postings + stats
-    stages).  Idempotent and crash-safe — see module docstring protocol."""
+    stages).  Idempotent and crash-safe — see module docstring protocol.
+
+    mode:
+      "merge"  (default) decode-and-re-block: delta-touched buckets are
+               decoded together with the base and rebuilt into full blocks
+               (defragments tail terms fragmented across many deltas).
+      "append" O(delta): doc_ids are append-only, so delta blocks are NEW
+               (term, salt-range) rows disjoint from every base block — the
+               merged postings table is literally base ∪ delta block rows.
+               The snapshot hardlinks every base file and copies the delta
+               files into their bucket dirs; term_stats = base stats ∪
+               delta-only aggregates summed per term (no doc overlap, so
+               df/cf add exactly); NOTHING of the base is decoded or
+               rewritten.  The Lucene-tiered-merge / Iceberg-style fast
+               path — run "merge" occasionally to defragment.
+    """
+    if mode not in ("merge", "append"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
     mgr = StageManager(index_dir)
     _heal_interrupted_swap(mgr)
 
@@ -179,12 +235,98 @@ def compact(
     to_compact = [d for d in pending if os.path.basename(d) not in in_base]
     results: dict = {}
 
-    if to_compact:
+    if to_compact and mode == "append":
+        # O(delta) append: hardlink the whole base, copy the delta block
+        # files into their bucket dirs (names prefixed by batch so repeated
+        # appends never collide), and sum per-term delta aggregates into
+        # term_stats.  Valid because doc_ids are append-only: delta blocks
+        # cover doc-id salt ranges disjoint from every base block, and a
+        # term's df/cf contributions add with no overlap.
+        snapshot_of = sorted(in_base + [os.path.basename(d) for d in to_compact])
+        conf = {"compact_of": snapshot_of, "mode": mode,
+                **config.fingerprint_dict()}
+
+        def write_postings_append(tmp: str):
+            import shutil
+
+            def link_into(src_dir: str, prefix: str = "") -> None:
+                for bdir in sorted(glob.glob(os.path.join(src_dir, "bucket=*"))):
+                    dst = os.path.join(tmp, os.path.basename(bdir))
+                    os.makedirs(dst, exist_ok=True)
+                    for fn in os.listdir(bdir):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        s, t = os.path.join(bdir, fn), os.path.join(dst, prefix + fn)
+                        try:
+                            os.link(s, t)
+                        except OSError:
+                            shutil.copy2(s, t)
+
+            link_into(mgr.stage_path("postings"))
+            for d in to_compact:
+                link_into(d, prefix=os.path.basename(d) + "_")
+
+        results["postings_compacted"] = mgr.run(
+            "postings_compacted", conf, write_postings_append
+        )
+
+        def write_term_stats_append(tmp: str):
+            parts = [
+                decode_postings_df(spark.read.parquet(d), config.codec)
+                for d in to_compact
+            ]
+            dl = parts[0]
+            for p in parts[1:]:
+                dl = dl.unionByName(p)
+            delta_stats = dl.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
+            )
+            base_stats = spark.read.parquet(mgr.stage_path("term_stats"))
+            (
+                base_stats.unionByName(delta_stats)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .write.parquet(tmp)
+            )
+
+        results["term_stats_compacted"] = mgr.run(
+            "term_stats_compacted", conf, write_term_stats_append
+        )
+
+    elif to_compact:
         # this snapshot will contain every not-yet-stats-committed delta
         snapshot_of = sorted(in_base + [os.path.basename(d) for d in to_compact])
-        conf = {"compact_of": snapshot_of, **config.fingerprint_dict()}
+        conf = {"compact_of": snapshot_of, "mode": mode,
+                **config.fingerprint_dict()}
+
+        # PER-BUCKET incremental merge: deltas are bucket-partitioned with
+        # the same term-hash layout as the base, so only buckets that have
+        # delta rows are decoded and rewritten.  The base scan filters on
+        # the `bucket` partition column (Catalyst prunes the untouched dirs
+        # from the read entirely) and untouched bucket dirs transfer into
+        # the new snapshot as hardlinks — the local analogue of an Iceberg
+        # partition-level replace.  Honest scope note: a broad-vocabulary
+        # TEXT delta touches every term-hash bucket (any doc's terms hash
+        # everywhere), so the pruning pays off for bucket-local deltas
+        # (single-field, small-vocab, or very large n_buckets); the O(delta)
+        # path for ordinary deltas is mode="append".  Falls back to a full
+        # rebuild when the base was built with a different n_buckets.
+        touched_ids = sorted({
+            int(os.path.basename(p).split("=", 1)[1])
+            for d in to_compact
+            for p in glob.glob(os.path.join(d, "bucket=*"))
+        })
+        base_n_buckets = post_manifest.get("config", {}).get("n_buckets")
+        if base_n_buckets != config.n_buckets or len(touched_ids) >= config.n_buckets:
+            touched_ids = None  # rewrite everything
+        # recorded in the stage manifest for observability; deterministic
+        # given (compact_of, base manifest) so recovery re-derives the same
+        # fingerprint
+        conf["touched_buckets"] = touched_ids
 
         base = spark.read.parquet(mgr.stage_path("postings"))
+        if touched_ids is not None:
+            base = base.filter(F.col("bucket").isin(touched_ids))
         parts = [decode_postings_df(base, config.codec)]
         for d in to_compact:
             parts.append(decode_postings_df(spark.read.parquet(d), config.codec))
@@ -205,17 +347,29 @@ def compact(
                 .repartition(config.n_buckets, "bucket")
                 .write.partitionBy("bucket").parquet(tmp)
             )
+            if touched_ids is not None:
+                _link_untouched_buckets(
+                    mgr.stage_path("postings"), tmp, set(touched_ids)
+                )
 
         # write to a new stage name, then swap: the old postings stay
         # readable until the compacted snapshot is committed (crash-safe)
         results["postings_compacted"] = mgr.run("postings_compacted", conf, write_postings)
 
         def write_term_stats(tmp: str):
-            (
-                long_form.groupBy("term")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-                .write.parquet(tmp)
+            new_stats = long_form.groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").alias("cf")
             )
+            if touched_ids is not None:
+                # terms hash to exactly one bucket, so stats for untouched
+                # buckets carry over verbatim from the live table
+                kept = spark.read.parquet(mgr.stage_path("term_stats")).filter(
+                    ~term_bucket_expr(F.col("term"), config.n_buckets).isin(
+                        touched_ids
+                    )
+                )
+                new_stats = kept.unionByName(new_stats)
+            new_stats.write.parquet(tmp)
 
         results["term_stats_compacted"] = mgr.run("term_stats_compacted", conf, write_term_stats)
 

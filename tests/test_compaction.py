@@ -265,3 +265,127 @@ def test_compact_recovers_crash_before_manifest_replace(
     assert fs["n_docs"] == 130 and len(fs["folded_deltas"]) == 1
     # idempotent afterwards
     assert compact(spark, idx_dir, CFG) == {}
+
+
+def test_compact_rewrites_only_touched_buckets(spark, webpages_pdf, tmp_path):
+    """Per-bucket incremental merge: a delta touching one term-hash bucket
+    must leave every other bucket's parquet files physically intact (same
+    inodes, carried as hardlinks) while the merged index still matches a
+    from-scratch oracle."""
+    import os
+
+    from knowledgeir_spark.index.build import term_bucket_py
+    from knowledgeir_spark.plans.lineage import StageManager
+
+    idx_dir = str(tmp_path / "idx_pb")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:100][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base100")
+
+    # one new doc with a single novel term -> exactly one touched bucket
+    term = "zqxjkvbn"
+    tb = term_bucket_py(term, CFG.n_buckets)
+    inp = str(tmp_path / "arr_pb")
+    spark.createDataFrame(
+        [(500, term)], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, "doc_id long, text string", CFG)
+
+    def bucket_inodes(bucket: int) -> set[int]:
+        d = os.path.join(idx_dir, "postings", f"bucket={bucket}")
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    pre = {b: bucket_inodes(b) for b in range(CFG.n_buckets) if b != tb}
+    assert all(pre.values())  # every untouched bucket has base data
+
+    assert compact(spark, idx_dir, CFG)
+
+    m = StageManager(idx_dir).manifest("postings")
+    assert m["config"]["touched_buckets"] == [tb]
+    for b, inodes in pre.items():
+        assert bucket_inodes(b) == inodes, f"bucket {b} was rewritten"
+
+    corpus = list(zip(pdf.iloc[:100]["doc_id"], pdf.iloc[:100]["text"])) + [
+        (500, term)
+    ]
+    import pandas as pd
+
+    _assert_matches_oracle(
+        spark, idx_dir, pd.DataFrame(corpus, columns=["doc_id", "text"])
+    )
+
+
+def test_append_compaction_equals_fresh_oracle(spark, webpages_pdf, tmp_path):
+    """mode='append': O(delta) compaction — base files carry over by inode
+    (nothing decoded or rewritten), delta blocks land in their bucket dirs,
+    term_stats sum exactly — and the result matches a from-scratch oracle
+    and answers queries rank-identically."""
+    import os
+
+    from knowledgeir_spark.index.query import IndexReader
+
+    idx_dir = str(tmp_path / "idx_app")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:200][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base200")
+
+    inp = str(tmp_path / "arr_app")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(pdf.iloc[200:250][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    spark.createDataFrame(pdf.iloc[250:300][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+
+    def inodes(root):
+        out = set()
+        for dp, _dn, fns in os.walk(root):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    out.add(os.stat(os.path.join(dp, fn)).st_ino)
+        return out
+
+    base_inodes = inodes(os.path.join(idx_dir, "postings"))
+    res = compact(spark, idx_dir, CFG, mode="append")
+    assert res and not any(r.skipped for r in res.values())
+    after = inodes(os.path.join(idx_dir, "postings"))
+    assert base_inodes <= after  # every base file carried over untouched
+
+    _assert_matches_oracle(spark, idx_dir, pdf.iloc[:300])
+
+    # idempotent re-run; queries rank-identical to the from-scratch oracle
+    assert compact(spark, idx_dir, CFG, mode="append") == {}
+    oracle = OracleIndex(list(zip(pdf.iloc[:300]["doc_id"],
+                                  pdf.iloc[:300]["text"])))
+    reader = IndexReader(spark, idx_dir)
+    assert reader.field_stats["n_docs"] == 300
+    for qid, qtext in [("1", "the data spark w0005"), ("2", "w0100 w0200")]:
+        ranked = reader.search([(qid, qtext)], k=15).collect()
+        expected = oracle.topk(qtext, k=15)
+        assert [r["doc_id"] for r in sorted(ranked, key=lambda r: r["rank"])] \
+            == [d for d, _ in expected], qtext
+        for r in ranked:
+            assert r["score"] == pytest.approx(dict(expected)[r["doc_id"]],
+                                               abs=1e-6)
+
+    # a later delta can be folded by the MERGE mode on top of the appended
+    # snapshot (defragmentation path composes with the fast path)
+    extra = pdf.iloc[:50].copy()
+    extra["doc_id"] = extra["doc_id"] + 1000
+    spark.createDataFrame(extra[["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    assert compact(spark, idx_dir, CFG, mode="merge")
+    full = list(zip(pdf.iloc[:300]["doc_id"], pdf.iloc[:300]["text"])) + list(
+        zip(extra["doc_id"], extra["text"])
+    )
+    import pandas as pd
+
+    _assert_matches_oracle(
+        spark, idx_dir, pd.DataFrame(full, columns=["doc_id", "text"])
+    )
