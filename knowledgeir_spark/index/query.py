@@ -338,6 +338,45 @@ def _score_group_bmw(
     )
 
 
+class DecodedTermCache:
+    """Hot-term decoded-postings cache for the serving coordinator (the
+    standard production-engine lever: Zipf query streams repeat head terms,
+    whose decode dominates point-query latency).  Holds FULLY-decoded
+    (ids, tfs, dls) per term, bounded by total postings; FIFO eviction.
+    Correctness-neutral: cached arrays are exactly what decode produces,
+    and the cache lives inside one IndexReader (one index snapshot)."""
+
+    def __init__(self, max_postings: int = 10_000_000):
+        from collections import OrderedDict
+
+        self.max_postings = max_postings
+        self._d: "OrderedDict[str, tuple]" = OrderedDict()
+        self._total = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, term: str):
+        hit = self._d.get(term)
+        if hit is None:
+            self.misses += 1
+        else:
+            self.hits += 1
+            self._d.move_to_end(term)
+        return hit
+
+    def put(self, term: str, arrays: tuple) -> None:
+        if term in self._d:
+            return
+        size = len(arrays[0])
+        if size > self.max_postings:
+            return
+        while self._total + size > self.max_postings and self._d:
+            _, old = self._d.popitem(last=False)
+            self._total -= len(old[0])
+        self._d[term] = arrays
+        self._total += size
+
+
 def _score_group_dense(
     pdf: pd.DataFrame,
     q_terms: dict[str, list[dict]],
@@ -346,6 +385,7 @@ def _score_group_dense(
     k: int,
     codec: str,
     id_space: int,
+    cache: DecodedTermCache | None = None,
 ) -> pd.DataFrame:
     """Dense-accumulator bm25 scorer for the serving coordinator — the fast
     path when the doc-id space fits a flat array (engine doc_ids are dense
@@ -426,32 +466,50 @@ def _score_group_dense(
         # tie.  Exact: single-term scores are complete per decoded doc.
         d = by_bound[0]
         g = d["g"]
-        bounds = S.bm25_term_bound(
-            g["max_tf"].to_numpy(np.float64),
-            g["min_doc_len"].to_numpy(np.float64),
-            d["df"], n, avgdl,
-        )
-        order = np.argsort(-bounds, kind="stable")
-        pos, batch = 0, 64
-        while pos < len(order):
-            take = order[pos:pos + batch]
-            ids, tfs, dls = decode(g.iloc[take])
+        hit = cache.get(d["t"]["term"]) if cache is not None else None
+        if hit is not None:
+            ids, tfs, dls = hit
             seen[ids] = True
             score_sel[ids] += S.bm25_term_contrib(
                 tfs.astype(np.float64), d["df"], dls.astype(np.float64),
                 n, avgdl,
             )
-            pos += len(take)
-            batch *= 2  # geometric growth bounds the re-check cost
-            if pos >= len(order):
-                break
-            cand_sel = score_sel[seen]
-            if len(cand_sel) >= k:
-                kth = float(
-                    np.partition(cand_sel, len(cand_sel) - k)[len(cand_sel) - k]
+            pos = len(g)
+        else:
+            bounds = S.bm25_term_bound(
+                g["max_tf"].to_numpy(np.float64),
+                g["min_doc_len"].to_numpy(np.float64),
+                d["df"], n, avgdl,
+            )
+            order = np.argsort(-bounds, kind="stable")
+            pos, batch = 0, 64
+            parts = []
+            while pos < len(order):
+                take = order[pos:pos + batch]
+                ids, tfs, dls = decode(g.iloc[take])
+                parts.append((ids, tfs, dls))
+                seen[ids] = True
+                score_sel[ids] += S.bm25_term_contrib(
+                    tfs.astype(np.float64), d["df"], dls.astype(np.float64),
+                    n, avgdl,
                 )
-                if qf(float(bounds[order[pos]])) < qf(kth):
+                pos += len(take)
+                batch *= 2  # geometric growth bounds the re-check cost
+                if pos >= len(order):
                     break
+                cand_sel = score_sel[seen]
+                if len(cand_sel) >= k:
+                    kth = float(
+                        np.partition(cand_sel, len(cand_sel) - k)[
+                            len(cand_sel) - k
+                        ]
+                    )
+                    if qf(float(bounds[order[pos]])) < qf(kth):
+                        break
+            if cache is not None and pos >= len(order):
+                cache.put(d["t"]["term"], tuple(
+                    np.concatenate([p[i] for p in parts]) for i in range(3)
+                ))
         score = score_sel
         _LAST_DENSE_STATS.clear()
         _LAST_DENSE_STATS.update(
@@ -479,8 +537,14 @@ def _score_group_dense(
                 )
                 if qf(rest_bound) < qf(theta) - 1:
                     break
-        ids, tfs, dls = decode(d["g"])
-        decoded[d["t"]["term"]] = (ids, tfs, dls)
+        term = d["t"]["term"]
+        hit = cache.get(term) if cache is not None else None
+        if hit is None:
+            hit = decode(d["g"])
+            if cache is not None:
+                cache.put(term, hit)
+        ids, tfs, dls = hit
+        decoded[term] = hit
         seen[ids] = True
         score_sel[ids] += S.bm25_term_contrib(
             tfs.astype(np.float64), d["df"], dls.astype(np.float64), n, avgdl
@@ -497,12 +561,29 @@ def _score_group_dense(
         cum = np.zeros(id_space + 1, dtype=np.int64)
         np.cumsum(seen, out=cum[1:])
         for d in by_bound[n_ess:]:
+            term = d["t"]["term"]
+            hit = cache.get(term) if cache is not None else None
+            if hit is not None:
+                # full cached arrays supersede the partial decode: extra
+                # (non-candidate) contributions only touch docs that the
+                # bound argument already excludes from the top-k
+                decoded[term] = hit
+                continue
             g = d["g"]
             lo = g["first_doc_id"].to_numpy(np.int64)
             hi = g["max_doc_id"].to_numpy(np.int64)
             keep = (cum[hi + 1] - cum[lo]) > 0
-            if keep.any():
-                decoded[d["t"]["term"]] = decode(g[keep])
+            if cache is not None and keep.mean() > 0.5:
+                # candidates blanket most of this term's block ranges (the
+                # common mid-df case): a full decode costs barely more than
+                # the partial one and makes the term cacheable, so repeat
+                # queries skip the decode entirely
+                full = decode(g)
+                cache.put(term, full)
+                decoded[term] = full
+                blocks_decoded += len(g)
+            elif keep.any():
+                decoded[term] = decode(g[keep])
                 blocks_decoded += int(keep.sum())
     _LAST_DENSE_STATS.clear()
     _LAST_DENSE_STATS.update(
@@ -609,6 +690,9 @@ class IndexReader:
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._df_cache: dict[str, float] | None = None
         self._df_cache_checked = False
+        # serving hot-term cache (decoded postings; one index snapshot per
+        # reader, so no invalidation concern)
+        self.decode_cache = DecodedTermCache()
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
@@ -796,7 +880,8 @@ class IndexReader:
             id_space = int(sub["max_doc_id"].max()) + 1
             if prune and model == "bm25" and id_space <= self._DENSE_MAX_DOCS:
                 res = _score_group_dense(
-                    sub, q_terms, n, avgdl, k, self.codec, id_space
+                    sub, q_terms, n, avgdl, k, self.codec, id_space,
+                    cache=self.decode_cache,
                 )
             elif prune and model == "bm25" and len(sub) >= _BMW_MIN_BLOCKS:
                 res = _score_group_bmw(sub, q_terms, n, avgdl, k, self.codec)

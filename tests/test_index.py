@@ -346,3 +346,21 @@ def test_dense_scorer_single_term_block_cut():
     brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
     assert list(dense["doc_id"]) == list(brute["doc_id"])
     assert list(dense["score"]) == list(brute["score"])
+
+
+def test_serving_decode_cache_identical_results(spark, built, queries_pdf):
+    """The hot-term decoded-postings cache must be result-invisible: a
+    repeated query (and a different query sharing terms) returns exactly
+    the same rows as the cold run, and the cache actually gets hits."""
+    from knowledgeir_spark.index.query import IndexReader
+
+    rd = IndexReader(spark, built["idx_dir"])
+    queries = [(str(r.qid), r.query) for r in queries_pdf.itertuples()][:10]
+    cold = [rd.search_local([q], k=20) for q in queries]
+    assert rd.decode_cache.misses > 0
+    warm = [rd.search_local([q], k=20) for q in queries]
+    assert rd.decode_cache.hits > 0
+    assert cold == warm
+    # a fresh reader (empty cache) agrees too
+    rd2 = IndexReader(spark, built["idx_dir"])
+    assert [rd2.search_local([q], k=20) for q in queries] == cold
