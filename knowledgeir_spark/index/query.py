@@ -342,7 +342,8 @@ class DecodedTermCache:
     """Hot-term decoded-postings cache for the serving coordinator (the
     standard production-engine lever: Zipf query streams repeat head terms,
     whose decode dominates point-query latency).  Holds FULLY-decoded
-    (ids, tfs, dls) per term, bounded by total postings; FIFO eviction.
+    (ids, tfs, dls) per term, bounded by total postings; LRU eviction
+    (get() refreshes recency).
     Correctness-neutral: cached arrays are exactly what decode produces,
     and the cache lives inside one IndexReader (one index snapshot)."""
 
