@@ -119,6 +119,7 @@ def _heal_interrupted_swap(mgr: StageManager) -> None:
                 os.rename(bak, old)
         elif os.path.exists(new_mp) and not os.path.isdir(new):
             os.replace(new_mp, mgr._manifest_path(stage))
+            shutil.rmtree(bak, ignore_errors=True)
     # a committed term_stats_compacted whose postings half has FULLY swapped
     # (crash between the two stage swaps) must be installed before compact()
     # reads live term_stats — the per-bucket merge unions the kept live

@@ -468,6 +468,7 @@ def _score_group_dense(
         d = by_bound[0]
         g = d["g"]
         hit = cache.get(d["t"]["term"]) if cache is not None else None
+        cache_hit = hit is not None
         if hit is not None:
             ids, tfs, dls = hit
             seen[ids] = True
@@ -475,7 +476,7 @@ def _score_group_dense(
                 tfs.astype(np.float64), d["df"], dls.astype(np.float64),
                 n, avgdl,
             )
-            pos = len(g)
+            pos = 0  # nothing decoded: the cached arrays supplied everything
         else:
             bounds = S.bm25_term_bound(
                 g["max_tf"].to_numpy(np.float64),
@@ -515,7 +516,7 @@ def _score_group_dense(
         _LAST_DENSE_STATS.clear()
         _LAST_DENSE_STATS.update(
             qid=qid, n_scored_terms=1, n_essential=1,
-            blocks_total=len(g), blocks_decoded=pos,
+            blocks_total=len(g), blocks_decoded=pos, cache_hit=cache_hit,
         )
         return _dense_topk(qid, score, seen, deferred, k, codec)
 
@@ -527,10 +528,15 @@ def _score_group_dense(
     # decoded "essential" terms can never enter the top-k — even on a
     # doc_id tie — so the remaining (head) terms only need blocks whose
     # doc-id range contains an already-seen candidate.
-    rest_bound = sum(d["bound"] for d in by_bound)
     n_ess = 0
     for d in by_bound:
         if n_ess > 0:
+            # rest_bound is recomputed EXACTLY each iteration (at most |q|
+            # adds) rather than decremented from the initial total, so
+            # catastrophic cancellation between a huge decoded bound and
+            # small remaining ones can never leave it under-estimated
+            # beyond the one spare quantum reserved below
+            rest_bound = sum(x["bound"] for x in by_bound[n_ess:])
             cand_sel = score_sel[seen]
             if len(cand_sel) >= k:
                 theta = float(
@@ -550,7 +556,6 @@ def _score_group_dense(
         score_sel[ids] += S.bm25_term_contrib(
             tfs.astype(np.float64), d["df"], dls.astype(np.float64), n, avgdl
         )
-        rest_bound -= d["bound"]
         n_ess += 1
 
     # FILL-IN: skipped terms still contribute to candidates' exact scores —
