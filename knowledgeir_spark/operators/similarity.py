@@ -11,9 +11,15 @@ DataFrame program):
   vector gets a sign-bit signature from D pseudo-random Rademacher planes
   (plane p, dim d -> ±1 from a bit of md5(p:d), so signatures are portable
   and deterministic, no stored plane matrix); candidates = same bucket in
-  >=1 of the multi-probe band tables, then exact cosine on candidates and
-  top-k.  Recall < 1 by construction (benchmarked, not asserted); exactness
-  tests use brute force.
+  >=1 band table, where the QUERY side probes its exact band buckets PLUS
+  the buckets reached by flipping its `n_probes` lowest-|margin| signature
+  bits (true multi-probe LSH, Lv et al. VLDB'07: a bit whose hyperplane dot
+  product is near zero is the one most likely to differ on a true
+  neighbor).  Exact cosine re-rank on candidates, then top-k.  Recall < 1
+  by construction — measured, not guessed: scripts/rp_lsh_recall.py writes
+  the (planes, bands, probes) -> recall@10 grid to BENCH/rp_lsh_recall.json
+  and tests/test_dedup_similarity.py asserts a floor at the shipped
+  defaults.  Exactness tests use brute force.
 """
 
 from __future__ import annotations
@@ -112,6 +118,45 @@ def rp_signature_udf(n_planes: int, dim: int):
     return sig
 
 
+def rp_probe_bands_udf(n_planes: int, dim: int, n_bands: int, n_probes: int):
+    """Query-side multi-probe band generator: per vector, emit its exact
+    (band, value) entries plus up to `n_probes` perturbed entries, each made
+    by flipping ONE signature bit — chosen globally by ascending |dot(vec,
+    plane)| (the flip margin).  A near-zero margin means the neighbor we are
+    looking for plausibly landed on the other side of that hyperplane, so
+    probing that adjacent bucket recovers exactly the near-miss collisions
+    that banded OR loses.  Only the (broadcast-sized) query side pays the
+    extra probes; the vector side keeps one bucket entry per band."""
+    planes_t = _plane_signs(n_planes, dim).T  # (dim, n_planes)
+    rows = n_planes // n_bands
+    row_weights = (1 << np.arange(rows, dtype=np.int64))
+
+    @F.pandas_udf("array<struct<band:int,v:long>>")
+    def probes(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            vec = np.asarray(v, dtype=np.float64)
+            dots = vec @ planes_t
+            bits = (dots > 0).astype(np.int64)
+            band_vals = [
+                int(bits[b * rows:(b + 1) * rows] @ row_weights)
+                for b in range(n_bands)
+            ]
+            entries = [
+                {"band": b, "v": band_vals[b]} for b in range(n_bands)
+            ]
+            if n_probes > 0:
+                for p in np.argsort(np.abs(dots), kind="stable")[:n_probes]:
+                    b = int(p) // rows
+                    entries.append(
+                        {"band": b, "v": band_vals[b] ^ (1 << (int(p) - b * rows))}
+                    )
+            out.append(entries)
+        return pd.Series(out)
+
+    return probes
+
+
 def rp_signature_expr(vec, planes: np.ndarray) -> "F.Column":
     """Bit p = 1 iff dot(vec, plane_p) > 0; packed into a long.
     TEST-ONLY reference path: builds n_planes x dim literal expression nodes,
@@ -138,8 +183,9 @@ def rp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 64,
+    n_bands: int = 16,
+    n_probes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
@@ -147,7 +193,11 @@ def rp_lsh_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share >=1 signature band with the
-    query; exact cosine re-rank on candidates.  Pass `dim` explicitly at
+    query's exact OR multi-probed buckets; exact cosine re-rank on
+    candidates.  Defaults (64 planes, 16 bands, 16 probes) are the measured
+    operating point — recall@10 >= 0.9 on the driver's uniform-random
+    embeddings (LSH's hardest case; see BENCH/rp_lsh_recall.json) with a
+    candidate set still far below the corpus.  Pass `dim` explicitly at
     scale — the `.first()` fallback exists only for interactive convenience
     and costs one Spark job."""
     if dim is None:
@@ -173,10 +223,11 @@ def rp_lsh_topk(
     ).select("vec_id", "vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
         "vec_id", "vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
     )
+    probe_udf = rp_probe_bands_udf(n_planes, dim, n_bands, n_probes)
     q = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"),
-        sig_udf(F.col(q_vec_col)).alias("sig"),
-    ).select("q_id", "q_vec", F.explode(bands_of(F.col("sig"))).alias("bs")).select(
+        F.explode(probe_udf(F.col(q_vec_col))).alias("bs"),
+    ).select(
         "q_id", "q_vec", F.col("bs.band").alias("band"), F.col("bs.v").alias("v")
     )
     cand = (

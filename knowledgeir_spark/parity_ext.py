@@ -653,13 +653,17 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _rp_lsh_sql(n_planes: int = 16, n_bands: int = 4, dim: int = 64) -> str:
-    """Replay operators/similarity.rp_lsh_topk in SQL: md5-derived Rademacher
-    planes (sign = bit 0 of digest byte 0 = parity of md5 hex char 2),
-    sign-bit signatures, 4-bit bands, band-bucket candidate join, exact
-    cosine re-rank with the floor(cos*1e9) rank key."""
+def _rp_lsh_sql(
+    n_planes: int = 64, n_bands: int = 16, n_probes: int = 16, dim: int = 64
+) -> str:
+    """Replay operators/similarity.rp_lsh_topk (at its SHIPPED defaults,
+    including multi-probe) in SQL: md5-derived Rademacher planes (sign =
+    bit 0 of digest byte 0 = parity of md5 hex char 2), per-band sign-bit
+    values, query-side probes = exact bands plus the single-bit flips of the
+    `n_probes` globally-lowest-|dot| planes (ties by plane index, matching
+    numpy's stable argsort), band-bucket candidate join, exact cosine
+    re-rank with the floor(cos*1e9) rank key."""
     rows = n_planes // n_bands
-    mask = (1 << rows) - 1
     odd = "('1','3','5','7','9','b','d','f')"
     return f"""
 WITH pl AS (
@@ -678,18 +682,28 @@ dots AS (
   SELECT ve.vec_id, pl.p, sum(ve.x * pl.s) AS dot
   FROM ve JOIN pl ON pl.d = ve.d GROUP BY ve.vec_id, pl.p
 ),
-sigs AS (
-  SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)::BIGINT AS sig
-  FROM dots GROUP BY vec_id
-),
 bands AS (
-  SELECT vec_id, b.b, (sig >> (b.b * {rows})) & {mask} AS v
-  FROM sigs, (SELECT unnest(range(0,{n_bands})) AS b) b
+  SELECT vec_id, (p // {rows})::INT AS b,
+         sum(CASE WHEN dot > 0 THEN 1 << (p % {rows}) ELSE 0 END)::BIGINT AS v
+  FROM dots GROUP BY vec_id, p // {rows}
+),
+qflip AS (
+  SELECT vec_id, p, (p // {rows})::INT AS b, (1 << (p % {rows}))::BIGINT AS fbit,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(dot) ASC, p ASC) AS rn
+  FROM dots WHERE vec_id < 5
+),
+qprobes AS (
+  SELECT vec_id, b, v FROM bands WHERE vec_id < 5
+  UNION
+  SELECT f.vec_id, f.b, xor(bb.v, f.fbit) AS v
+  FROM qflip f JOIN bands bb ON bb.vec_id = f.vec_id AND bb.b = f.b
+  WHERE f.rn <= {n_probes}
 ),
 cand AS (
   SELECT DISTINCT qb.vec_id AS q_id, vb.vec_id AS vec_id
-  FROM bands vb JOIN bands qb ON vb.b = qb.b AND vb.v = qb.v
-  WHERE qb.vec_id < 5 AND vb.vec_id <> qb.vec_id
+  FROM bands vb JOIN qprobes qb ON vb.b = qb.b AND vb.v = qb.v
+  WHERE vb.vec_id <> qb.vec_id
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id),
 pdots AS (

@@ -28,7 +28,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GRID = [(16, 4), (32, 4), (32, 8), (64, 8), (64, 16)]
+GRID = [
+    (16, 4, 0), (32, 4, 0), (32, 8, 0), (64, 8, 0), (64, 16, 0),
+    (64, 16, 8), (64, 16, 16), (64, 16, 32), (64, 8, 16), (64, 8, 32),
+]
 N_QUERIES = 50
 
 
@@ -56,9 +59,10 @@ def measure(spark, sf_dir: str, k: int = 10) -> dict:
     }
 
     results = []
-    for n_planes, n_bands in GRID:
+    for n_planes, n_bands, n_probes in GRID:
         ann = rp_lsh_topk(
-            vecs, queries, k=k, n_planes=n_planes, n_bands=n_bands, dim=dim
+            vecs, queries, k=k, n_planes=n_planes, n_bands=n_bands,
+            n_probes=n_probes, dim=dim,
         ).collect()
         hits = sum(1 for r in ann if (r["q_id"], r["vec_id"]) in exact)
         # candidate count per query = rows surviving the band join (the
@@ -66,7 +70,7 @@ def measure(spark, sf_dir: str, k: int = 10) -> dict:
         n_cand = (
             rp_lsh_topk(
                 vecs, queries, k=len(exact) + 10 ** 6, n_planes=n_planes,
-                n_bands=n_bands, dim=dim,
+                n_bands=n_bands, n_probes=n_probes, dim=dim,
             )
             .groupBy("q_id")
             .count()
@@ -77,6 +81,7 @@ def measure(spark, sf_dir: str, k: int = 10) -> dict:
             {
                 "n_planes": n_planes,
                 "n_bands": n_bands,
+                "n_probes": n_probes,
                 "recall_at_k": round(hits / len(exact), 4),
                 "mean_candidates_per_query": round(float(n_cand or 0.0), 1),
             }

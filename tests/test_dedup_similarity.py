@@ -223,11 +223,13 @@ def test_bucket_cap_drops_oversized_buckets(spark):
 
 
 def test_rp_lsh_recall_floor(spark):
-    """RP-LSH recall is measured, and now asserted: on the driver testdata
-    embeddings (uniform random — LSH's hardest case), the (32 planes,
-    8 bands) config must keep recall@10 above 0.5 vs brute force, and
-    widening bands (4 -> 8 at 32 planes) must raise recall.  Deterministic:
-    planes are md5-derived, no RNG state.  Full grid artifact:
+    """RP-LSH recall is measured, and asserted AT THE SHIPPED DEFAULTS
+    (64 planes, 16 bands, 16 multi-probes): on the driver testdata
+    embeddings (uniform random — LSH's hardest case), default-config
+    recall@10 must clear 0.9 vs brute force (measured 0.992 on the full
+    50-query grid, BENCH/rp_lsh_recall.json), and multi-probing must raise
+    recall over the same table without probes.  Deterministic: planes are
+    md5-derived, no RNG state.  Full grid artifact:
     scripts/rp_lsh_recall.py -> BENCH/rp_lsh_recall.json."""
     import pyspark.sql.functions as F
 
@@ -246,12 +248,10 @@ def test_rp_lsh_recall_floor(spark):
         for r in brute_force_topk(vecs, queries, k=10).collect()
     }
 
-    def recall(n_planes, n_bands):
-        ann = rp_lsh_topk(
-            vecs, queries, k=10, n_planes=n_planes, n_bands=n_bands, dim=64
-        ).collect()
+    def recall(**kw):
+        ann = rp_lsh_topk(vecs, queries, k=10, dim=64, **kw).collect()
         return sum(1 for r in ann if (r["q_id"], r["vec_id"]) in exact) / len(exact)
 
-    r_38 = recall(32, 8)
-    assert r_38 >= 0.5, r_38
-    assert r_38 > recall(32, 4)
+    r_default = recall()  # the shipped defaults, whatever they are
+    assert r_default >= 0.9, r_default
+    assert r_default > recall(n_planes=64, n_bands=16, n_probes=0)
