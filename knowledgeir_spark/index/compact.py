@@ -190,9 +190,86 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # same-directory rename: atomic commit
 
 
+def fragmented_buckets(index_dir: str, max_files: int) -> list[int]:
+    """Bucket ids of the live postings stage whose parquet file count
+    exceeds max_files — repeated append compactions leave one file per
+    (delta x original file) in every touched bucket, and the tail-term
+    fragmentation cost is proportional to that count."""
+    live = StageManager(index_dir).stage_path("postings")
+    out = []
+    for bdir in sorted(glob.glob(os.path.join(live, "bucket=*"))):
+        n = sum(1 for fn in os.listdir(bdir) if fn.endswith(".parquet"))
+        if n > max_files:
+            out.append(int(os.path.basename(bdir).split("=", 1)[1]))
+    return out
+
+
+def defrag(
+    spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig(),
+    max_files_per_bucket: int = 32, buckets: list[int] | None = None,
+) -> dict:
+    """Re-block fragmented buckets of the LIVE base (no deltas involved):
+    decode just those buckets to long form, rebuild full blocks, and swap a
+    snapshot where every untouched bucket dir is hardlinked.  term_stats and
+    field_stats are untouched — defrag changes layout, not content.  This is
+    the automatic tier-merge behind compact(mode="append"): append stays
+    O(delta) per batch, and a bucket is defragmented only when its file
+    count crosses the threshold (Lucene's tiered-merge policy shape).
+    Crash-safe via the same stage-commit + swap + heal protocol as
+    compact()."""
+    mgr = StageManager(index_dir)
+    _heal_interrupted_swap(mgr)
+    _swap_compacted_stages(mgr)  # install leftovers of a crashed prior run
+    if buckets is None:
+        buckets = fragmented_buckets(index_dir, max_files_per_bucket)
+    if not buckets:
+        return {}
+    post_manifest = mgr.manifest("postings") or {}
+    base_n_buckets = post_manifest.get("config", {}).get("n_buckets")
+    if base_n_buckets is not None and base_n_buckets != config.n_buckets:
+        # re-bucketing is a full rewrite, not a per-bucket defrag
+        return {"skipped": "n_buckets mismatch; run compact(mode='merge')"}
+    conf = {
+        # carry the live snapshot's delta bookkeeping so the crash-window
+        # detection (in_base) survives a defrag swap
+        "compact_of": post_manifest.get("config", {}).get("compact_of", []),
+        "mode": "defrag", "touched_buckets": sorted(buckets),
+        **config.fingerprint_dict(),
+    }
+    base = spark.read.parquet(mgr.stage_path("postings")).filter(
+        F.col("bucket").isin(list(buckets))
+    )
+    long_form = decode_postings_df(base, config.codec)
+
+    def write_postings(tmp: str):
+        salted = long_form.select(
+            "doc_id", "term", "tf", "doc_len",
+            (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
+            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
+        )
+        (
+            salted.repartition(max(len(buckets), 1), "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(
+                _make_block_builder(config.block_size, config.codec),
+                POSTINGS_SCHEMA,
+            )
+            .repartition(max(len(buckets), 1), "bucket")
+            .write.partitionBy("bucket").parquet(tmp)
+        )
+        _link_untouched_buckets(mgr.stage_path("postings"), tmp, set(buckets))
+
+    out = {
+        "postings_defragged": mgr.run("postings_compacted", conf, write_postings),
+        "defragged_buckets": sorted(buckets),
+    }
+    _swap_one(mgr, "postings")
+    return out
+
+
 def compact(
     spark: SparkSession, index_dir: str, config: IndexConfig = IndexConfig(),
-    mode: str = "merge",
+    mode: str = "merge", auto_defrag_files: int | None = 32,
 ) -> dict:
     """Merge unfolded deltas/batch_* into the base index (postings + stats
     stages).  Idempotent and crash-safe — see module docstring protocol.
@@ -209,7 +286,13 @@ def compact(
                delta-only aggregates summed per term (no doc overlap, so
                df/cf add exactly); NOTHING of the base is decoded or
                rewritten.  The Lucene-tiered-merge / Iceberg-style fast
-               path — run "merge" occasionally to defragment.
+               path.
+
+    auto_defrag_files: after an "append" fold, any bucket whose parquet
+    file count exceeds this threshold is automatically re-blocked via
+    defrag() (untouched buckets stay hardlinked) — the fast path no longer
+    relies on an operator remembering to run "merge" occasionally.  None
+    disables the trigger.
     """
     if mode not in ("merge", "append"):
         raise ValueError(f"unknown compaction mode {mode!r}")
@@ -399,4 +482,15 @@ def compact(
     fs["avg_doc_len"] = fs["total_len"] / fs["n_docs"] if fs["n_docs"] else 0.0
     fs["folded_deltas"] = sorted(folded)
     _atomic_write_json(fs_path, fs)
+
+    # tiering policy: append keeps each fold O(delta) but accretes one file
+    # per (delta x base file) in touched buckets — re-block any bucket past
+    # the file-count threshold now, so tail-term fragmentation is bounded
+    # without a manual merge
+    if mode == "append" and auto_defrag_files is not None:
+        d = defrag(
+            spark, index_dir, config, max_files_per_bucket=auto_defrag_files
+        )
+        if d:
+            results["defrag"] = d
     return results

@@ -32,6 +32,8 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -833,6 +835,74 @@ class IndexReader:
                 os.path.join(self.index_dir, "postings"), partitioning="hive"
             )
         return self._pa_dataset
+
+    def prewarm(self, n_terms: int = 256) -> dict:
+        """Serving cold-start prewarm: populate the driver-side term_stats
+        dict, open the pyarrow dataset, and pre-decode the highest-df
+        POSITIVE-idf terms into the DecodedTermCache (zero-idf Zipf-head
+        terms contribute 0 to every score and are decoded lazily by the
+        scorer only in the rare under-k case, so caching them would spend
+        the postings budget on dead weight).  Fill stops at the cache's
+        postings budget — prewarm never evicts what it just decoded.
+        Returns {terms_warmed, postings_cached, sec} for observability.
+        Cost is one sequential pruned read of the head row groups —
+        amortizing exactly the ~seconds of first-touch latency a cold
+        coordinator otherwise pays on its first head-term queries."""
+        import pyarrow.dataset as ds
+
+        t0 = time.time()
+        n = float(self.field_stats["n_docs"])
+        self.term_stats_for([])  # populate / size-check the df dict once
+        if self._df_cache is not None:
+            items = self._df_cache.items()
+        else:  # oversized vocab: fetch just the df head via Spark
+            items = [
+                (r["term"], float(r["df"]))
+                for r in self._term_stats.orderBy(F.col("df").desc())
+                .limit(4 * n_terms).collect()
+            ]
+        pos = [
+            (t, df) for t, df in items
+            if max((n - df + 0.5) / (df + 0.5), 1.0) > 1.0
+        ]
+        pos.sort(key=lambda kv: (-kv[1], kv[0]))
+        budget = self.decode_cache.max_postings
+        picked: list[str] = []
+        total = 0
+        for t, df in pos[: 4 * n_terms]:
+            if len(picked) >= n_terms:
+                break
+            if total + int(df) > budget:
+                continue
+            picked.append(t)
+            total += int(df)
+        if not picked:
+            return {"terms_warmed": 0, "postings_cached": 0,
+                    "sec": round(time.time() - t0, 3)}
+        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in picked})
+        filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(
+            sorted(picked)
+        )
+        pdf = self._local_dataset().to_table(
+            filter=filt,
+            columns=["term", "n_docs", "doc_id_deltas", "tfs", "doc_lens"],
+        ).to_pandas()
+        warmed = cached = 0
+        for term, g in pdf.groupby("term", sort=False):
+            if self.decode_cache.get(term) is not None:
+                continue
+            ids, tfs, dls = decode_blocks_concat(
+                [bytes(x) for x in g["doc_id_deltas"]],
+                [bytes(x) for x in g["tfs"]],
+                [bytes(x) for x in g["doc_lens"]],
+                g["n_docs"].tolist(),
+                codec=self.codec,
+            )
+            self.decode_cache.put(term, (ids.astype(np.int64), tfs, dls))
+            warmed += 1
+            cached += len(ids)
+        return {"terms_warmed": warmed, "postings_cached": cached,
+                "sec": round(time.time() - t0, 3)}
 
     def search_local(
         self,

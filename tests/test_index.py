@@ -364,3 +364,25 @@ def test_serving_decode_cache_identical_results(spark, built, queries_pdf):
     # a fresh reader (empty cache) agrees too
     rd2 = IndexReader(spark, built["idx_dir"])
     assert [rd2.search_local([q], k=20) for q in queries] == cold
+
+
+def test_prewarm_cache_and_identical_results(spark, built, queries_pdf):
+    """prewarm() pre-decodes positive-idf head terms into the cache
+    (result-invisible), so first-touch queries hit instead of decoding."""
+    from knowledgeir_spark.index.query import IndexReader
+
+    queries = [(str(r.qid), r.query) for r in queries_pdf.itertuples()][:10]
+    rd_cold = IndexReader(spark, built["idx_dir"])
+    cold = [rd_cold.search_local([q], k=20) for q in queries]
+
+    rd = IndexReader(spark, built["idx_dir"])
+    stats = rd.prewarm(n_terms=64)
+    assert stats["terms_warmed"] > 0
+    assert stats["postings_cached"] > 0
+    pre_hits, pre_misses = rd.decode_cache.hits, rd.decode_cache.misses
+    warm = [rd.search_local([q], k=20) for q in queries]
+    assert warm == cold
+    assert rd.decode_cache.hits > pre_hits  # prewarmed terms were reused
+    # prewarm is idempotent and never evicts what it just decoded
+    again = rd.prewarm(n_terms=64)
+    assert again["terms_warmed"] == 0
