@@ -182,6 +182,79 @@ def _host_busy_steal() -> tuple[int, int]:
     return busy, int(p[8])
 
 
+def serving_probe_once(
+    cpus: int, n_docs: int, block_order: str, id_stride: int, fp: str
+) -> dict:
+    """Subprocess entry: build (resumable commit — rebuilt only when the
+    build-code fingerprint changes) an index VARIANT (block layout / doc-id
+    sparsity) and measure the 50-query serving set's decode work and
+    latency.  Two passes: skip-rate pass with the decoded-postings cache
+    disabled (per-query decode work, the honest block-skip measurement),
+    then a latency pass with the default cache."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.fixtures.webpages import gen_queries
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.build import (
+        IndexConfig,
+        build_index,
+        choose_salt_range,
+    )
+    from knowledgeir_spark.index.query import DecodedTermCache, IndexReader
+    from knowledgeir_spark.session import get_spark
+
+    tag = f"{block_order}_s{id_stride}"
+    idx_dir = os.path.join(CACHE, f"probe_idx_{n_docs}_{tag}_{fp}")
+    spark = get_spark(cpus=cpus, app_name=f"kir-probe-{tag}")
+    docs = spark.read.parquet(webtext_path(n_docs))
+    if id_stride != 1:
+        docs = docs.withColumn("doc_id", F.col("doc_id") * id_stride)
+    cfg = IndexConfig(
+        salt_range=choose_salt_range(n_docs * id_stride, 16),
+        n_buckets=32,
+        build_partitions=max(16, n_docs // 18_000),
+        block_order=block_order,
+    )
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, cfg, input_token=f"probe_{n_docs}_{tag}")
+    build_sec = round(time.time() - t0, 3)
+
+    queries = [(r.qid, r.query) for r in gen_queries(N_QUERIES).itertuples()]
+    out: dict = {
+        "n_docs": n_docs, "block_order": block_order, "id_stride": id_stride,
+        "build_or_resume_sec": build_sec,
+    }
+    # pass 1: skip rate, cache off
+    rd = IndexReader(spark, idx_dir)
+    rd.decode_cache = DecodedTermCache(max_postings=0)
+    rd.search_local(queries[:1], k=K)
+    dec = tot = 0
+    for q in queries:
+        Q._LAST_DENSE_STATS.clear()
+        rd.search_local([q], k=K)
+        dec += Q._LAST_DENSE_STATS.get("blocks_decoded", 0)
+        tot += Q._LAST_DENSE_STATS.get("blocks_total", 0)
+    out["blocks_decoded"] = dec
+    out["blocks_total"] = tot
+    out["block_skip_rate"] = round(1 - dec / tot, 4) if tot else None
+    # pass 2: latency, default cache
+    rd2 = IndexReader(spark, idx_dir)
+    rd2.search_local(queries[:1], k=K)
+    lat = []
+    for q in queries:
+        tq = time.time()
+        rd2.search_local([q], k=K)
+        lat.append(time.time() - tq)
+    lat.sort()
+    out["p50_sec"] = round(statistics.median(lat), 4)
+    out["p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
+    out["total_50q_sec"] = round(sum(lat), 3)
+    spark.stop()
+    return out
+
+
 def dedup_once(cpus: int, n_docs: int) -> dict:
     """Subprocess entry: minhash-LSH + simhash near-dup over the Zipf-skewed
     webtext corpus at bench scale — wall time and candidate-pair counts are
@@ -502,6 +575,51 @@ def main() -> None:
             ),
         }
 
+    # 2b2. serving block-skip probe: impact-ordered blocks vs doc-ordered,
+    # and doc-id sparsity (stride 16), at 1M/2M docs — the measured
+    # evidence that block bounds discriminate (skip rate) and what that
+    # buys in latency.  Cached per build-code fingerprint.
+    if os.environ.get("KIR_BENCH_SKIP_PROBE", "1") == "1":
+        bfp = _build_code_fingerprint()
+        probe_out = []
+        for nd, border, stride in (
+            (2_000_000, "docid", 1),
+            (2_000_000, "impact", 1),
+            (1_000_000, "impact", 1),
+            (1_000_000, "docid", 16),
+        ):
+            key = os.path.join(CACHE, f"probe_{nd}_{border}_s{stride}_{bfp}.json")
+            if os.path.exists(key):
+                with open(key) as f:
+                    leg = json.load(f)
+                leg["cached"] = True
+            else:
+                ensure_webtext(nd)
+                leg = _subprocess_leg(
+                    {
+                        "KIR_BENCH_PROBE_RUN": "1",
+                        "KIR_BENCH_PROBE_DOCS": str(nd),
+                        "KIR_BENCH_PROBE_ORDER": border,
+                        "KIR_BENCH_PROBE_STRIDE": str(stride),
+                        "KIR_BENCH_PROBE_FP": bfp,
+                    },
+                    1800, f"serving probe ({nd}, {border}, s{stride})",
+                )
+                if leg:
+                    with open(key, "w") as f:
+                        json.dump(leg, f)
+            if leg:
+                probe_out.append(leg)
+        extras["serving_block_skip"] = {
+            "legs": probe_out,
+            "build_code_fingerprint": bfp,
+            "note": (
+                "50-query serving set; skip-rate pass has the decode cache "
+                "disabled so blocks_decoded is the honest per-query decode "
+                "work; latency pass uses the default cache"
+            ),
+        }
+
     # 2c. PFor codec cost vs varint: one isolated 1M-doc build per codec,
     # wall + on-disk index bytes.  Cached on the build-code fingerprint.
     if os.environ.get("KIR_BENCH_PFOR", "1") == "1":
@@ -654,6 +772,18 @@ if __name__ == "__main__":
                     int(os.environ["KIR_BENCH_BUILD_CPUS"]),
                     int(os.environ.get("KIR_BENCH_BUILD_DOCS", N_DOCS)),
                     codec=os.environ.get("KIR_BENCH_BUILD_CODEC", "varint"),
+                )
+            )
+        )
+    elif os.environ.get("KIR_BENCH_PROBE_RUN"):
+        print(
+            json.dumps(
+                serving_probe_once(
+                    int(os.environ.get("KIR_BENCH_PROBE_CPUS", "8")),
+                    int(os.environ["KIR_BENCH_PROBE_DOCS"]),
+                    os.environ.get("KIR_BENCH_PROBE_ORDER", "docid"),
+                    int(os.environ.get("KIR_BENCH_PROBE_STRIDE", "1")),
+                    os.environ.get("KIR_BENCH_PROBE_FP", "nofp"),
                 )
             )
         )

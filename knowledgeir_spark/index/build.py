@@ -53,6 +53,14 @@ class IndexConfig:
     build_partitions: int | None = None  # shuffle width; None -> session default
     tokenizer: str = "spec"        # "spec" (engine v1) | "simple" (SQL-parity)
     codec: str = "varint"          # posting payload codec: "varint" | "pfor"
+    # "docid": blocks = contiguous doc_id runs (disjoint per-block id
+    # ranges; enables decode-level WAND).  "impact": within each (term,
+    # salt) group postings are BUCKETED into blocks by descending tf first
+    # (block 0 = the group's top-tf postings), then each block re-sorted by
+    # doc_id for delta coding — block score bounds become strictly
+    # discriminative on Zipf corpora, so the serving top-k cut stops after
+    # a few blocks where doc-ordered 128-blocks all share the head tf.
+    block_order: str = "docid"     # "docid" | "impact"
 
     def fingerprint_dict(self) -> dict:
         return asdict(self)
@@ -90,11 +98,44 @@ def term_bucket_expr(term: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _make_block_builder(block_size: int, codec: str = "varint"):
+def _impact_reorder(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Impact-ordered block assignment (block_order="impact"): within each
+    (term, salt) group — input rows sorted by (term, salt, doc_id) — assign
+    postings to blocks by DESCENDING tf (ties: doc_id asc, deterministic),
+    then re-sort each block by doc_id so the delta codec still sees
+    ascending ids.  Group extents and block sizes are unchanged, so the
+    downstream change-detection encoder emits the same block count with the
+    same (term, salt, block_id) keys — only membership differs.  A doc
+    still appears in exactly one block per term; only block METADATA
+    sharpens (block 0 carries the group's max tf, later blocks strictly
+    lower), which is what makes the serving bound-cut discriminative."""
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy(np.int64)
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    n = len(pdf)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    grp_id = np.cumsum(new_grp) - 1
+    order = np.lexsort((ids, -tfs, grp_id))  # grp asc, tf desc, id asc
+    grp_sorted = grp_id[order]
+    starts = np.flatnonzero(np.r_[True, grp_sorted[1:] != grp_sorted[:-1]])
+    sizes = np.diff(np.append(starts, n))
+    offs = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    blk = offs // block_size
+    order2 = np.lexsort((ids[order], blk, grp_sorted))
+    return pdf.iloc[order[order2]].reset_index(drop=True)
+
+
+def _make_block_builder(
+    block_size: int, codec: str = "varint", block_order: str = "docid"
+):
     """mapInPandas fn: partition rows sorted by (term, salt, doc_id) ->
     posting-block rows.  Streams Arrow batches with a carry buffer so a
     (term, salt) group spanning batch boundaries is encoded exactly once;
     memory is bounded by max group size (<= salt_range postings) + one batch.
+    block_order="impact" re-buckets each group's postings into blocks by
+    descending tf before encoding (see _impact_reorder).
     """
 
     def encode_groups_slow(pdf: pd.DataFrame) -> list[dict]:
@@ -173,6 +214,8 @@ def _make_block_builder(block_size: int, codec: str = "varint"):
         )
 
     def encode_groups(pdf: pd.DataFrame):
+        if block_order == "impact":
+            pdf = _impact_reorder(pdf, block_size)
         if codec == "varint":
             out = encode_groups_varint(pdf)
             return out if len(out) else None
@@ -252,7 +295,11 @@ def build_index(
         (
             salted.repartition(int(parts), "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
+            .mapInPandas(
+                _make_block_builder(config.block_size, config.codec,
+                                    config.block_order),
+                POSTINGS_SCHEMA,
+            )
             # block rows are ~1/100 the size of the long-form postings, so a
             # second (cheap) exchange by bucket keeps the file count at
             # ~n_buckets instead of shuffle_partitions x n_buckets tiny files;
@@ -291,6 +338,7 @@ def build_index(
                 "block_size": config.block_size,
                 "salt_range": config.salt_range,
                 "codec": config.codec,
+                "block_order": config.block_order,
             },
         )
     return results

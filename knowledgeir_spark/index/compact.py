@@ -251,7 +251,7 @@ def defrag(
             salted.repartition(max(len(buckets), 1), "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(
-                _make_block_builder(config.block_size, config.codec),
+                _make_block_builder(config.block_size, config.codec, config.block_order),
                 POSTINGS_SCHEMA,
             )
             .repartition(max(len(buckets), 1), "bucket")
@@ -427,7 +427,7 @@ def compact(
             (
                 salted.repartition(config.n_buckets, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id")
-                .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
+                .mapInPandas(_make_block_builder(config.block_size, config.codec, config.block_order), POSTINGS_SCHEMA)
                 .repartition(config.n_buckets, "bucket")
                 .write.partitionBy("bucket").parquet(tmp)
             )

@@ -693,6 +693,10 @@ class IndexReader:
             self.field_stats = json.load(f)
         self.n_buckets = int(self.field_stats["n_buckets"])
         self.codec = self.field_stats.get("codec", "varint")
+        # "impact" layouts have overlapping per-block doc-id ranges, which
+        # invalidates the decode-level WAND's disjointness assumption — the
+        # reader gates that path on the recorded layout
+        self.block_order = self.field_stats.get("block_order", "docid")
         # build the scan DataFrames once (schema discovery is not free)
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
@@ -959,7 +963,10 @@ class IndexReader:
                     sub, q_terms, n, avgdl, k, self.codec, id_space,
                     cache=self.decode_cache,
                 )
-            elif prune and model == "bm25" and len(sub) >= _BMW_MIN_BLOCKS:
+            elif (
+                prune and model == "bm25" and len(sub) >= _BMW_MIN_BLOCKS
+                and self.block_order == "docid"
+            ):
                 res = _score_group_bmw(sub, q_terms, n, avgdl, k, self.codec)
             else:
                 res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)

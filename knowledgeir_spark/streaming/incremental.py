@@ -42,7 +42,7 @@ def _delta_writer(index_root: str, config: IndexConfig):
         (
             salted.repartition(config.n_buckets, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size, config.codec), POSTINGS_SCHEMA)
+            .mapInPandas(_make_block_builder(config.block_size, config.codec, config.block_order), POSTINGS_SCHEMA)
             .write.mode("overwrite").partitionBy("bucket").parquet(out)
         )
         # per-delta corpus scalars so compaction can update field_stats exactly

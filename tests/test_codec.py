@@ -106,3 +106,52 @@ def test_vectorized_builder_byte_identical_to_per_block(spark, webpages_pdf):
         if c in ("doc_id_deltas", "tfs", "doc_lens"):
             a, b = [bytes(x) for x in a], [bytes(x) for x in b]
         assert a == b, c
+
+
+def test_vectorized_builder_byte_identical_under_impact_order(spark, webpages_pdf):
+    """Impact reorder feeds BOTH encoder paths the same permuted rows, so
+    the vectorized varint path must stay byte-identical to the per-block
+    reference path under block_order='impact' too."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.functions.text import doc_terms
+    from knowledgeir_spark.index.build import _impact_reorder, _make_block_builder
+    from knowledgeir_spark.index.codec import encode_block
+
+    pdf_src = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf_src[["doc_id", "text"]])
+    pdf = (
+        doc_terms(docs)
+        .withColumn("salt", (F.col("doc_id") / 64).cast("long"))
+        .withColumn("bucket", F.lit(3))
+        .orderBy("term", "salt", "doc_id")
+        .toPandas()
+    )
+    fast = pd.concat(
+        list(_make_block_builder(16, "varint", "impact")(iter([pdf])))
+    )
+    ref = _impact_reorder(pdf, 16)
+    rows = []
+    for (term, salt, bucket), g in ref.groupby(
+        ["term", "salt", "bucket"], sort=False
+    ):
+        ids = g["doc_id"].to_numpy(np.int64).astype(np.uint64)
+        tfs = g["tf"].to_numpy(np.int64).astype(np.uint64)
+        dls = g["doc_len"].to_numpy(np.int64).astype(np.uint64)
+        for bi, start in enumerate(range(0, len(ids), 16)):
+            blk = encode_block(
+                ids[start:start + 16], tfs[start:start + 16],
+                dls[start:start + 16],
+            )
+            blk.update(term=term, salt=int(salt), bucket=int(bucket),
+                       block_id=bi)
+            rows.append(blk)
+    slow = pd.DataFrame(rows)[list(fast.columns)]
+    assert len(fast) == len(slow)
+    for c in fast.columns:
+        assert list(fast[c]) == list(slow[c]), c
+    # every block's ids ascend (delta-codable) and per-group max_tf declines
+    grp = slow.groupby(["term", "salt"])["max_tf"]
+    assert (grp.apply(lambda s: (s.to_numpy()[:-1] >= s.to_numpy()[1:]).all())).all()

@@ -386,3 +386,55 @@ def test_prewarm_cache_and_identical_results(spark, built, queries_pdf):
     # prewarm is idempotent and never evicts what it just decoded
     again = rd.prewarm(n_terms=64)
     assert again["terms_warmed"] == 0
+
+
+def test_impact_layout_rank_identical_and_discriminative(
+    spark, built, queries_pdf, tmp_path_factory
+):
+    """block_order='impact' must return EXACTLY the docid layout's results
+    (both paths, all queries) while making block score bounds strictly
+    decline within each (term, salt) group — the property that lets the
+    serving bound-cut skip blocks on Zipf corpora."""
+    import numpy as np
+
+    from knowledgeir_spark.index.build import IndexConfig
+    from knowledgeir_spark.index.query import IndexReader
+
+    idx_dir = str(tmp_path_factory.mktemp("index_impact"))
+    pdf = built["pdf"]
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    cfg = IndexConfig(**{**CFG.fingerprint_dict(), "block_order": "impact"})
+    build_index(spark, docs, idx_dir, cfg, input_token="webpages300")
+
+    rd_i = IndexReader(spark, idx_dir)
+    assert rd_i.block_order == "impact"
+    rd_d = IndexReader(spark, built["idx_dir"])
+    queries = [(str(r.qid), r.query) for r in queries_pdf.itertuples()]
+    for q in queries:
+        assert rd_i.search_local([q], k=15) == rd_d.search_local([q], k=15), q
+    a = rd_i.search(queries[:5], k=15).collect()
+    b = rd_d.search(queries[:5], k=15).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # bound discrimination: for the head term, per-(salt) max_tf declines
+    # with block_id under impact order but not under docid order
+    from pyspark.sql import functions as F
+
+    post = spark.read.parquet(f"{idx_dir}/postings")
+    head_term = (
+        post.groupBy("term").count().orderBy(F.desc("count"), "term")
+        .first()["term"]
+    )
+    head = (
+        post.filter(F.col("term") == head_term)
+        .select("salt", "block_id", "max_tf")
+        .orderBy("salt", "block_id")
+        .toPandas()
+    )
+    assert len(head) > 3
+    declines = 0
+    for _, g in head.groupby("salt"):
+        mt = g["max_tf"].to_numpy()
+        assert all(mt[i] >= mt[i + 1] for i in range(len(mt) - 1)), mt
+        declines += int(len(mt) > 1 and mt[0] > mt[-1])
+    assert declines > 0  # bounds actually discriminate, not just equal
