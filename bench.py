@@ -231,14 +231,27 @@ def serving_probe_once(
     rd.decode_cache = DecodedTermCache(max_postings=0)
     rd.search_local(queries[:1], k=K)
     dec = tot = 0
+    s_dec = s_tot = s_n = 0
     for q in queries:
         Q._LAST_DENSE_STATS.clear()
         rd.search_local([q], k=K)
-        dec += Q._LAST_DENSE_STATS.get("blocks_decoded", 0)
-        tot += Q._LAST_DENSE_STATS.get("blocks_total", 0)
+        st = Q._LAST_DENSE_STATS
+        d, t = st.get("blocks_decoded", 0), st.get("blocks_total", 0)
+        dec += d
+        tot += t
+        if st.get("n_scored_terms") == 1:
+            # the class the bound-cut mechanism targets: one positive-idf
+            # term whose full decode is otherwise the whole query cost
+            s_dec += d
+            s_tot += t
+            s_n += 1
     out["blocks_decoded"] = dec
     out["blocks_total"] = tot
     out["block_skip_rate"] = round(1 - dec / tot, 4) if tot else None
+    out["single_scored_term"] = {
+        "n_queries": s_n, "blocks_decoded": s_dec, "blocks_total": s_tot,
+        "skip_rate": round(1 - s_dec / s_tot, 4) if s_tot else None,
+    }
     # pass 2: latency, default cache
     rd2 = IndexReader(spark, idx_dir)
     rd2.search_local(queries[:1], k=K)
@@ -381,6 +394,12 @@ def _subprocess_leg(env_overrides: dict, timeout_s: int, label: str) -> dict | N
         print(
             f"WARN: {label} subprocess timed out after "
             f"{timeout_s}s; skipping this leg", file=sys.stderr,
+        )
+        return None
+    except subprocess.CalledProcessError as e:
+        print(
+            f"WARN: {label} subprocess failed (rc={e.returncode}); "
+            f"stderr tail:\n{(e.stderr or '')[-2000:]}", file=sys.stderr,
         )
         return None
     busy1, steal1 = _host_busy_steal()

@@ -581,7 +581,7 @@ def _score_group_dense(
             lo = g["first_doc_id"].to_numpy(np.int64)
             hi = g["max_doc_id"].to_numpy(np.int64)
             keep = (cum[hi + 1] - cum[lo]) > 0
-            if cache is not None and keep.mean() > 0.5:
+            if cache is not None and cache.max_postings > 0 and keep.mean() > 0.5:
                 # candidates blanket most of this term's block ranges (the
                 # common mid-df case): a full decode costs barely more than
                 # the partial one and makes the term cacheable, so repeat

@@ -272,6 +272,48 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_bm25_topk_impact_prewarmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two round-4 serving additions under the SAME SQL oracle as the
+    flagship: an IMPACT-ordered index (block_order='impact' — blocks
+    bucketed by descending tf; bound-cut-discriminative layout) served by a
+    PREWARMED coordinator (IndexReader.prewarm pre-decodes head terms into
+    the DecodedTermCache) through search_local.  Rank identity is layout-
+    and cache-invariant by construction; this row proves it against DuckDB
+    end to end."""
+    import tempfile
+
+    from .index.build import IndexConfig, build_index
+    from .index.query import IndexReader
+
+    key = os.path.abspath(sf_dir) + "#impact"
+    if key not in _PARITY_INDEX_CACHE:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "kir_parity_index_impact_" + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        cfg = IndexConfig(
+            block_size=64, salt_range=128, n_buckets=8, tokenizer="simple",
+            block_order="impact",
+        )
+        build_index(
+            spark, _docs(spark, sf_dir).select("doc_id", "text"), idx_dir, cfg,
+            input_token=key,
+        )
+        _PARITY_INDEX_CACHE[key] = idx_dir
+    reader = IndexReader(spark, _PARITY_INDEX_CACHE[key])
+    reader.prewarm(n_terms=16)
+    rows = reader.search_local(
+        [(str(q), text) for q, text in ENTRY_QUERIES], k=TOPK, model="bm25"
+    )
+    out = spark.createDataFrame(
+        rows, "qid string, doc_id long, score double, rank int"
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        "doc_id", "rank", _E6(F.col("score")).alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
 # --------------------------------------------------------------------------
 # DuckDB side (programmatically generated where hash-heavy)
 
@@ -750,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "kfold_counts": q_kfold_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_impact_prewarmed": q_bm25_topk_impact_prewarmed,
         "user_sessions": q_user_sessions,
         "fingerprint_pairs": q_fingerprint_pairs,
         "rp_lsh_ann": q_rp_lsh_ann,
@@ -780,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": _ndcg_sql(),
         "kfold_counts": _KFOLD_SQL,
         "bm25_topk_indexed": _bm25_sql(),
+        "bm25_topk_impact_prewarmed": _bm25_sql(),
         "user_sessions": """
 WITH g AS (
   SELECT user_id,
