@@ -314,6 +314,165 @@ def q_bm25_topk_impact_prewarmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_decontam_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination metric: eval docs = doc_id % 7 == 3,
+    train = the rest; per eval doc the fraction of its distinct 5-gram
+    shingles occurring anywhere in train (operators/decontam.py)."""
+    from .operators.decontam import eval_overlap_fractions
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 7 != 3)
+    evals = docs.filter(F.col("doc_id") % 7 == 3)
+    return eval_overlap_fractions(train, evals, k=5).orderBy("doc_id")
+
+
+def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination attribution pairs (train_id, eval_id, n_shared >= 2),
+    same split as decontam_fractions."""
+    from .operators.decontam import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 7 != 3)
+    evals = docs.filter(F.col("doc_id") % 7 == 3)
+    return contamination_pairs(train, evals, k=5, min_shared=2).orderBy(
+        "train_id", "eval_id"
+    )
+
+
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition features over documents
+    (operators/textrep.py) — integer-ratio e6 quantization, exact oracle."""
+    from .operators.textrep import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _gram_sql(k: int, alias: str = "g") -> str:
+    """k-gram CTE over tp (token positions): (doc_id, item)."""
+    joins = "\n  ".join(
+        f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, k)
+    )
+    item = " || ' ' || ".join(f"t{i}.term" for i in range(k))
+    return f"""{alias} AS (
+  SELECT t0.doc_id, {item} AS item
+  FROM tp t0
+  {joins}
+)"""
+
+
+_TP_SQL = """raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS ord
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE term <> ''
+)"""
+
+
+def _decontam_fractions_sql(k: int = 5) -> str:
+    return f"""
+WITH {_TP_SQL},
+{_gram_sql(k)},
+gd AS (SELECT DISTINCT doc_id, item FROM g),
+tsh AS (SELECT DISTINCT item FROM gd WHERE doc_id % 7 <> 3),
+esh AS (SELECT doc_id, item FROM gd WHERE doc_id % 7 = 3),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM esh GROUP BY 1),
+hit AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM esh e JOIN tsh USING (item) GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles, coalesce(h.n_overlap, 0) AS n_overlap,
+       CAST(floor(1000000 * coalesce(h.n_overlap, 0) / t.n_shingles)
+            AS BIGINT) AS overlap_frac_e6
+FROM tot t LEFT JOIN hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _decontam_pairs_sql(k: int = 5, min_shared: int = 2) -> str:
+    return f"""
+WITH {_TP_SQL},
+{_gram_sql(k)},
+gd AS (SELECT DISTINCT doc_id, item FROM g)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       count(*) AS n_shared
+FROM gd tr JOIN gd ev USING (item)
+WHERE tr.doc_id % 7 <> 3 AND ev.doc_id % 7 = 3
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY train_id, eval_id
+"""
+
+
+_REPETITION_SQL = f"""
+WITH {_TP_SQL},
+tok AS (
+  SELECT d.doc_id, length(d.text) AS text_chars,
+         count(tp.term) AS n_tokens,
+         count(DISTINCT tp.term) AS n_distinct_tokens
+  FROM documents d LEFT JOIN tp ON tp.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+{_gram_sql(2, 'g2')},
+{_gram_sql(3, 'g3')},
+{_gram_sql(4, 'g4')},
+t2 AS (SELECT doc_id, max(cnt * length(item)) AS top FROM
+       (SELECT doc_id, item, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+       GROUP BY 1),
+t3 AS (SELECT doc_id, max(cnt * length(item)) AS top FROM
+       (SELECT doc_id, item, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+       GROUP BY 1),
+t4 AS (SELECT doc_id, max(cnt * length(item)) AS top FROM
+       (SELECT doc_id, item, count(*) AS cnt FROM g4 GROUP BY 1, 2)
+       GROUP BY 1),
+ln AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                    x -> x <> '')) AS item
+  FROM documents
+),
+lnc AS (SELECT doc_id, item, count(*) AS cnt, length(item) AS chars
+        FROM ln GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(cnt) AS n_lines,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dl,
+         sum(cnt * chars) AS lc,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * chars END), 0) AS dlc
+  FROM lnc GROUP BY 1
+)
+SELECT tok.doc_id,
+       tok.n_tokens, tok.n_distinct_tokens,
+       CASE WHEN tok.n_tokens > 0 THEN CAST(floor(
+         1000000 * (tok.n_tokens - tok.n_distinct_tokens) / tok.n_tokens)
+         AS BIGINT) ELSE 0 END AS dup_word_frac_e6,
+       coalesce(lagg.n_lines, 0) AS n_lines,
+       CASE WHEN coalesce(lagg.n_lines, 0) > 0 THEN CAST(floor(
+         1000000 * lagg.dl / lagg.n_lines) AS BIGINT) ELSE 0
+         END AS dup_line_frac_e6,
+       CASE WHEN coalesce(lagg.lc, 0) > 0 THEN CAST(floor(
+         1000000 * lagg.dlc / lagg.lc) AS BIGINT) ELSE 0
+         END AS dup_line_char_frac_e6,
+       CASE WHEN tok.text_chars > 0 THEN CAST(floor(
+         1000000 * coalesce(t2.top, 0) / tok.text_chars) AS BIGINT)
+         ELSE 0 END AS top2gram_char_frac_e6,
+       CASE WHEN tok.text_chars > 0 THEN CAST(floor(
+         1000000 * coalesce(t3.top, 0) / tok.text_chars) AS BIGINT)
+         ELSE 0 END AS top3gram_char_frac_e6,
+       CASE WHEN tok.text_chars > 0 THEN CAST(floor(
+         1000000 * coalesce(t4.top, 0) / tok.text_chars) AS BIGINT)
+         ELSE 0 END AS top4gram_char_frac_e6
+FROM tok
+LEFT JOIN lagg ON lagg.doc_id = tok.doc_id
+LEFT JOIN t2 ON t2.doc_id = tok.doc_id
+LEFT JOIN t3 ON t3.doc_id = tok.doc_id
+LEFT JOIN t4 ON t4.doc_id = tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # DuckDB side (programmatically generated where hash-heavy)
 
@@ -793,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_counts": q_kfold_counts,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_impact_prewarmed": q_bm25_topk_impact_prewarmed,
+        "decontam_fractions": q_decontam_fractions,
+        "decontam_pairs": q_decontam_pairs,
+        "repetition_features": q_repetition_features,
         "user_sessions": q_user_sessions,
         "fingerprint_pairs": q_fingerprint_pairs,
         "rp_lsh_ann": q_rp_lsh_ann,
@@ -824,6 +986,9 @@ def oracle_sql() -> dict[str, str]:
         "kfold_counts": _KFOLD_SQL,
         "bm25_topk_indexed": _bm25_sql(),
         "bm25_topk_impact_prewarmed": _bm25_sql(),
+        "decontam_fractions": _decontam_fractions_sql(),
+        "decontam_pairs": _decontam_pairs_sql(),
+        "repetition_features": _REPETITION_SQL,
         "user_sessions": """
 WITH g AS (
   SELECT user_id,
