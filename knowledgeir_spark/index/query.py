@@ -566,6 +566,30 @@ def _score_group_dense(
     # most blocks drop)
     blocks_decoded = sum(len(d["g"]) for d in by_bound[:n_ess])
     if n_ess < len(by_bound):
+        # CANDIDATE FILTER (exact MaxScore step 2): a candidate whose upper
+        # bound — its exact partial over the essential terms plus the summed
+        # bounds of every undecoded term — quantizes strictly below the
+        # running k-th best partial (one spare quantum for the reordered-
+        # sum ulps, the same margin as the selection break) can never enter
+        # the top-k, even on a doc_id tie: there are >= k candidates whose
+        # EXACT scores are >= their partials = theta > the dropped one's
+        # ceiling.  Dropping them up front narrows the doc-id ranges the
+        # fill-in must decode, which is where multi-term queries spend
+        # their decode budget.  Contributions only grow (bm25 terms are
+        # non-negative), so partials are valid lower bounds.
+        rest_total = sum(x["bound"] for x in by_bound[n_ess:])
+        cand_idx = np.flatnonzero(seen)
+        if len(cand_idx) >= k:
+            partials = score_sel[cand_idx]
+            theta = float(
+                np.partition(partials, len(partials) - k)[len(partials) - k]
+            )
+            ub_q = np.floor(
+                np.log(np.maximum(partials + rest_total, 1.0)) * _RANK_Q
+            )
+            drop = ub_q < qf(theta) - 1
+            if drop.any():
+                seen[cand_idx[drop]] = False
         cum = np.zeros(id_space + 1, dtype=np.int64)
         np.cumsum(seen, out=cum[1:])
         for d in by_bound[n_ess:]:

@@ -438,3 +438,52 @@ def test_impact_layout_rank_identical_and_discriminative(
         assert all(mt[i] >= mt[i + 1] for i in range(len(mt) - 1)), mt
         declines += int(len(mt) > 1 and mt[0] > mt[-1])
     assert declines > 0  # bounds actually discriminate, not just equal
+
+
+def test_dense_scorer_candidate_filter_narrows_fillin():
+    """MaxScore step 2 (candidate filter): candidates whose upper bound
+    (exact essential partial + remaining term bounds) quantizes strictly
+    below the running k-th partial are dropped BEFORE fill-in, so the
+    fill-in decodes only blocks holding surviving candidates — fewer
+    blocks at smaller k — while staying bit-identical to the
+    decode-everything scorer."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgeir_spark.index import query as Q
+    from knowledgeir_spark.index.codec import encode_block
+
+    rows = []
+    # selective anchor: 10 docs, strongly spread tfs, spread across id space
+    a_docs = np.arange(1, 100001, 10000, dtype=np.uint64)
+    blk = encode_block(a_docs, np.arange(5, 15), np.full(10, 20))
+    blk.update(term="anchor", qid="1")
+    rows.append(blk)
+    # two mid terms covering only the low half of the id space
+    for t, start in (("mid1", 0), ("mid2", 1)):
+        docs = np.arange(start, 60000, 2, dtype=np.uint64)
+        for s in range(0, len(docs), 128):
+            ids = docs[s:s + 128]
+            b = encode_block(ids, np.ones(len(ids)), np.full(len(ids), 20))
+            b.update(term=t, qid="1")
+            rows.append(b)
+    pdf = pd.DataFrame(rows)
+    q_terms = {"1": [
+        {"term": "anchor", "term_idx": 0, "q_tf": 1, "df": 10.0},
+        {"term": "mid1", "term_idx": 1, "q_tf": 1, "df": 30000.0},
+        {"term": "mid2", "term_idx": 2, "q_tf": 1, "df": 30000.0},
+    ]}
+    n, avgdl = 100000.0, 20.0
+
+    decoded = {}
+    for k in (3, 10):
+        dense = Q._score_group_dense(pdf, q_terms, n, avgdl, k, "varint",
+                                     100001)
+        decoded[k] = dict(Q._LAST_DENSE_STATS)["blocks_decoded"]
+        brute = Q._score_group(pdf, q_terms, n, avgdl, "bm25", k, prune=False)
+        assert list(dense["doc_id"]) == list(brute["doc_id"]), k
+        assert list(dense["score"]) == list(brute["score"]), k
+    total = dict(Q._LAST_DENSE_STATS)["blocks_total"]
+    # k=3 keeps only the top-tf anchor docs (all in the mid-free id half):
+    # the fill-in decodes nothing beyond the anchor block
+    assert decoded[3] < decoded[10] <= total * 0.1, (decoded, total)
