@@ -462,3 +462,33 @@ def test_append_auto_defrag_rewrites_only_fragmented_buckets(
     # idempotent: nothing pending, nothing fragmented at the new layout
     assert compact(spark, idx_dir, CFG, mode="append",
                    auto_defrag_files=others_max) == {}
+
+
+def test_impact_layout_through_delta_lifecycle(spark, webpages_pdf, tmp_path):
+    """block_order='impact' composes with the whole lifecycle: base build ->
+    streaming delta -> append fold -> merge defrag, and the result still
+    matches the from-scratch oracle (the re-block paths all thread
+    config.block_order)."""
+    from knowledgeir_spark.index.build import IndexConfig
+
+    cfg = IndexConfig(**{**CFG.fingerprint_dict(), "block_order": "impact"})
+    idx_dir = str(tmp_path / "idx_imp_life")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:150][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, cfg, input_token="base150i")
+
+    inp = str(tmp_path / "arr_imp_life")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(pdf.iloc[150:180][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, cfg)
+    assert compact(spark, idx_dir, cfg, mode="append")
+    _assert_matches_oracle(spark, idx_dir, pdf.iloc[:180])
+
+    spark.createDataFrame(pdf.iloc[180:200][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, cfg)
+    assert compact(spark, idx_dir, cfg, mode="merge")
+    _assert_matches_oracle(spark, idx_dir, pdf.iloc[:200])
+    reader = IndexReader(spark, idx_dir)
+    assert reader.block_order == "impact"
