@@ -727,8 +727,16 @@ class IndexReader:
         self._df_cache: dict[str, float] | None = None
         self._df_cache_checked = False
         # serving hot-term cache (decoded postings; one index snapshot per
-        # reader, so no invalidation concern)
-        self.decode_cache = DecodedTermCache()
+        # reader, so no invalidation concern).  Budget scales with the
+        # corpus: a fixed 10M-posting cap starves large indexes (at 2M docs
+        # one head term is ~800k postings, so 10M held ~12 terms); 12
+        # postings/doc ≈ the head-term working set of a Zipf query stream,
+        # ~576 MB of arrays at 2M docs — coordinator-sized.  Override by
+        # replacing the cache (reader.decode_cache = DecodedTermCache(n)).
+        self.decode_cache = DecodedTermCache(
+            max_postings=max(10_000_000,
+                             12 * int(self.field_stats.get("n_docs", 0)))
+        )
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
