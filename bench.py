@@ -226,15 +226,27 @@ def serving_probe_once(
         "n_docs": n_docs, "block_order": block_order, "id_stride": id_stride,
         "build_or_resume_sec": build_sec,
     }
-    # pass 1: skip rate, cache off
+    def pctl(lat: list) -> dict:
+        lat = sorted(lat)
+        return {
+            "p50_sec": round(statistics.median(lat), 4),
+            "p95_sec": round(lat[int(len(lat) * 0.95) - 1], 4),
+            "total_50q_sec": round(sum(lat), 3),
+        }
+
+    # pass 1: skip rate AND latency with the decode cache OFF — the honest
+    # per-query decode work of this (layout, query) combination
     rd = IndexReader(spark, idx_dir)
     rd.decode_cache = DecodedTermCache(max_postings=0)
     rd.search_local(queries[:1], k=K)
     dec = tot = 0
     s_dec = s_tot = s_n = 0
+    lat0 = []
     for q in queries:
         Q._LAST_DENSE_STATS.clear()
+        tq = time.time()
         rd.search_local([q], k=K)
+        lat0.append(time.time() - tq)
         st = Q._LAST_DENSE_STATS
         d, t = st.get("blocks_decoded", 0), st.get("blocks_total", 0)
         dec += d
@@ -252,18 +264,20 @@ def serving_probe_once(
         "n_queries": s_n, "blocks_decoded": s_dec, "blocks_total": s_tot,
         "skip_rate": round(1 - s_dec / s_tot, 4) if s_tot else None,
     }
-    # pass 2: latency, default cache
+    out["cache_off"] = pctl(lat0)
+    # pass 2: default cache, two sweeps — the first pays the cache-fill
+    # investment (full decodes for cacheability), the second is warm
+    # steady state; reporting them separately keeps the artifact stable
+    # across runs (a single mixed pass was dominated by fill-order noise)
     rd2 = IndexReader(spark, idx_dir)
     rd2.search_local(queries[:1], k=K)
-    lat = []
-    for q in queries:
-        tq = time.time()
-        rd2.search_local([q], k=K)
-        lat.append(time.time() - tq)
-    lat.sort()
-    out["p50_sec"] = round(statistics.median(lat), 4)
-    out["p95_sec"] = round(lat[int(len(lat) * 0.95) - 1], 4)
-    out["total_50q_sec"] = round(sum(lat), 3)
+    for label in ("cache_first_pass", "cache_steady_state"):
+        lat = []
+        for q in queries:
+            tq = time.time()
+            rd2.search_local([q], k=K)
+            lat.append(time.time() - tq)
+        out[label] = pctl(lat)
     spark.stop()
     return out
 
