@@ -17,7 +17,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from knowledgeir_spark import parity, parity_ext  # noqa: E402
+from knowledgeir_spark import parity, parity_ext, parity_web  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**parity.queries(), **parity_ext.queries()}
+    return {**parity.queries(), **parity_ext.queries(), **parity_web.queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**parity.oracle_sql(), **parity_ext.oracle_sql()}
+    return {
+        **parity.oracle_sql(),
+        **parity_ext.oracle_sql(),
+        **parity_web.oracle_sql(),
+    }

@@ -1,0 +1,239 @@
+"""Web-ingest parity suite: URL canonicalization, dup clustering, proximity.
+
+Same contract as parity.py / parity_ext.py — each Spark callable and its
+DuckDB SQL string produce identical (column names, row count, values)
+results at sf0.01.
+
+The testdata `documents` table carries no url column, so both engines
+derive one deterministically from (doc_id, source) with deliberately messy
+variants (http/https, www., mixed-case host, query string, fragment,
+trailing slash) — the parity row then exercises the REAL normalization
+operator (functions/url.py) against an independently written SQL mirror of
+its spec.  Same deterministic-derivation trick as the pagerank/LeToR
+families in parity_ext.py.
+"""
+# (registered in __spark_entry__.py; rows: url_host_stats, url_dedup,
+#  dup_clusters, sdm_bigrams)
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.url import host_stats, url_dedup
+from .operators.dedup import minhash_lsh_dedup
+from .operators.graph import dup_clusters
+from .operators.proximity import sdm_bigram_counts
+from .parity import ENTRY_QUERIES, _docs, _sql_queries_values
+from .parity_ext import MINHASH_THRESHOLD, N_BANDS, N_HASHES, _minhash_sql
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic URL (both engines derive the same value)
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/p/"),
+        (d % 100).cast("string"),
+        F.when(d % 13 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("?utm="), (d % 11).cast("string"))).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 4 == 0, F.concat(F.lit("#s"), (d % 3).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.withColumn("url", url)
+
+
+_SQL_URLS = """
+u AS (
+  SELECT doc_id, lang, n_chars,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END) ||
+         '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+         (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN '?utm=' || CAST(doc_id % 11 AS VARCHAR) ELSE '' END) ||
+         (CASE WHEN doc_id % 4 = 0
+               THEN '#s' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url),
+           '[?#].*$', ''), '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''),
+           '/$', '') AS stripped
+  FROM u
+),
+canon AS (
+  SELECT doc_id, lang, n_chars,
+         'https://' || stripped AS canonical,
+         regexp_replace(stripped, '[/:].*$', '') AS host
+  FROM norm
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return host_stats(_with_urls(_docs(spark, sf_dir))).orderBy("host")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_dedup(_with_urls(_docs(spark, sf_dir))).orderBy("canonical")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_dedup(
+        _docs(spark, sf_dir),
+        k=3,
+        n_hashes=N_HASHES,
+        n_bands=N_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    ).select("doc_a", "doc_b")
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
+def q_sdm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (qid, term, pos)
+        for qid, q in ENTRY_QUERIES
+        for pos, term in enumerate(q.lower().split())
+    ]
+    qdf = spark.createDataFrame(rows, "qid int, term string, pos int")
+    counts = sdm_bigram_counts(_docs(spark, sf_dir), qdf, window=8)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("n_ordered"), F.desc("n_uw"), F.col("doc_id")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("qid", "doc_id", "n_ordered", F.col("n_uw").alias("n_uw8"), "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_HOST_STATS_SQL = f"""
+WITH {_SQL_URLS}
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT canonical)::BIGINT AS n_canonical,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM canon GROUP BY host ORDER BY host"""
+
+_URL_DEDUP_SQL = f"""
+WITH {_SQL_URLS}
+SELECT canonical,
+       min(doc_id) AS keep_doc_id,
+       (count(*) - 1)::BIGINT AS n_dups
+FROM canon GROUP BY canonical ORDER BY canonical"""
+
+
+def _dup_clusters_sql() -> str:
+    # exact connected components: transitive closure over the symmetrized
+    # near-dup pair graph, label = min reachable node
+    return f"""
+WITH RECURSIVE
+mh AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM mh
+),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+lbl AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+),
+sz AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lbl GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size
+FROM lbl l JOIN sz USING (cluster_id)
+ORDER BY doc_id"""
+
+
+def _sdm_sql() -> str:
+    return f"""
+WITH {_sql_queries_values()},
+bg AS (
+  SELECT a.qid, a.pos AS bg_id, a.term AS term_a, b.term AS term_b
+  FROM q_raw a JOIN q_raw b ON b.qid = a.qid AND b.pos = a.pos + 1
+),
+raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS ord
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM raw WHERE term <> ''
+),
+pa AS (
+  SELECT bg.qid, bg.bg_id, tp.doc_id, tp.pos AS i
+  FROM bg JOIN tp ON tp.term = bg.term_a
+),
+pb AS (
+  SELECT bg.qid, bg.bg_id, tp.doc_id, tp.pos AS j
+  FROM bg JOIN tp ON tp.term = bg.term_b
+),
+pairs AS (
+  SELECT pa.qid, pa.doc_id, pa.i, pb.j
+  FROM pa JOIN pb ON pb.qid = pa.qid AND pb.bg_id = pa.bg_id
+                 AND pb.doc_id = pa.doc_id
+  WHERE pa.i <> pb.j AND abs(pb.j - pa.i) <= 7
+),
+agg AS (
+  SELECT qid, doc_id,
+         sum(CASE WHEN j = i + 1 THEN 1 ELSE 0 END)::BIGINT AS n_ordered,
+         count(*)::BIGINT AS n_uw8
+  FROM pairs GROUP BY qid, doc_id
+),
+rk AS (
+  SELECT qid, doc_id, n_ordered, n_uw8,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_ordered DESC, n_uw8 DESC, doc_id) AS rnk
+  FROM agg
+)
+SELECT qid, doc_id, n_ordered, n_uw8, rnk FROM rk WHERE rnk <= 20
+ORDER BY qid, rnk"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "url_host_stats": q_url_host_stats,
+        "url_dedup": q_url_dedup,
+        "dup_clusters": q_dup_clusters,
+        "sdm_bigrams": q_sdm_bigrams,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "url_host_stats": _HOST_STATS_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
+        "dup_clusters": _dup_clusters_sql(),
+        "sdm_bigrams": _sdm_sql(),
+    }
