@@ -1,0 +1,171 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The scale path for similarity search that partitions the corpus instead of
+hashing it (the task brief names both: RP-LSH lives in
+operators/similarity.py, IVF here).  A tiny k-means coarse quantizer maps
+every vector to its nearest centroid; a query probes only the `nprobe`
+nearest buckets, so the exact-cosine work drops from N to ~N*nprobe/k.
+
+Determinism contract (what makes this DuckDB-oracle-gatable, same trick as
+the pagerank CTE family in parity_ext.py):
+- centroid init  = the embeddings of the k lowest vec_ids (no RNG);
+- `iters` full Lloyd rounds, assignment tie -> lowest centroid id;
+- empty clusters simply drop out (both engines drop them identically);
+- all distance/mean math in double; ranking uses the floor(cos*1e9) key.
+
+Plan shape / 100 TB notes:
+- Centroids are k x dim floats — driver-bounded by construction (k rows
+  collected per round, documented bounded-frame pattern) and broadcast into
+  the scan, so ASSIGNMENT IS MAP-SIDE: no shuffle of the vector table, per
+  round only a (k*dim)-row partial-agg groupBy for the new means.
+- The vector table is scanned `iters + 1` times; at real scale persist the
+  (vec_id, cid) assignment or keep the quantizer frozen (build it on a
+  sample) — the module supports that by taking `iters=0` with explicit
+  `centroids`.
+- Query-time probing is a broadcast semi-join on cid: only the probed
+  buckets' vectors are scored.  With cluster-by-cid storage (bucketed
+  parquet / Iceberg partition on cid) the probe becomes partition pruning
+  at the scan.
+
+No reference counterpart (KnowledgeIR ships embeddings to external tools);
+engine addition for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine_expr
+from .topk import RANK_QUANTUM
+
+__all__ = ["ivf_build", "ivf_assign_expr", "ivf_topk"]
+
+Centroids = list[tuple[int, list[float]]]
+
+
+def _sq_dist_expr(vec_col: str, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign_expr(vec_col: str, centroids: Centroids) -> F.Column:
+    """Column: id of the nearest centroid (first minimum -> lowest cid,
+    because `centroids` is kept sorted by cid)."""
+    dists = F.array(*[_sq_dist_expr(vec_col, c) for _, c in centroids])
+    pos = F.array_position(dists, F.array_min(dists))
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    return F.element_at(cids, pos.cast("int"))
+
+
+def ivf_build(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Centroids | None = None,
+) -> tuple[Centroids, DataFrame]:
+    """Deterministic Lloyd k-means; returns (centroids, assignments).
+
+    assignments = DataFrame(vec_id, cid).  Pass `centroids` (+ iters=0) to
+    assign against a frozen quantizer.
+    """
+    if centroids is None:
+        init = (
+            vectors.orderBy(id_col)
+            .limit(k)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = sorted(
+            (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+        )
+    for _ in range(iters):
+        assigned = vectors.select(
+            F.col(id_col), ivf_assign_expr(vec_col, centroids).alias("cid")
+        )
+        means = (
+            vectors.join(assigned, id_col)
+            .select("cid", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .select("cid", F.col("ms.m").alias("centroid"))
+            .collect()
+        )
+        centroids = sorted(
+            (int(r["cid"]), [float(x) for x in r["centroid"]]) for r in means
+        )
+    assigned = vectors.select(
+        F.col(id_col), ivf_assign_expr(vec_col, centroids).alias("cid")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-probed cosine top-k: (q_id, vec_id, cos, rank).
+
+    Each query scores only the vectors assigned to its `nprobe` nearest
+    coarse buckets (ties on probe distance -> lowest cid)."""
+    centroids, assigned = ivf_build(
+        vectors, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec"))
+    dists = F.array(*[_sq_dist_expr("q_vec", c) for _, c in centroids])
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    probes = (
+        q.select(
+            "q_id",
+            "q_vec",
+            F.posexplode(F.arrays_zip(cids.alias("cid"), dists.alias("dist"))).alias(
+                "_i", "cd"
+            ),
+        )
+        .select("q_id", "q_vec", F.col("cd.cid").alias("cid"), F.col("cd.dist").alias("dist"))
+        .withColumn(
+            "pn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("pn") <= nprobe)
+        .select("q_id", "q_vec", "cid")
+    )
+    cand = vectors.join(assigned.withColumnRenamed(id_col, "_aid"),
+                        F.col(id_col) == F.col("_aid")).select(id_col, vec_col, "cid")
+    scored = cand.join(F.broadcast(probes), "cid").where(
+        F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.floor(F.col("cos") * RANK_QUANTUM).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .functions.url import host_stats, url_dedup
 from .operators.dedup import minhash_lsh_dedup
 from .operators.graph import dup_clusters
+from .operators.ivf import ivf_topk
 from .operators.proximity import sdm_bigram_counts
 from .parity import ENTRY_QUERIES, _docs, _sql_queries_values
 from .parity_ext import MINHASH_THRESHOLD, N_BANDS, N_HASHES, _minhash_sql
@@ -126,6 +127,28 @@ def q_sdm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+IVF_TOPK = 10
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ivf_topk(
+        emb, qs, k_clusters=IVF_K, iters=IVF_ITERS, nprobe=IVF_NPROBE, k=IVF_TOPK
+    )
+    return res.select(
+        "q_id",
+        "vec_id",
+        "rank",
+        F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6"),
+    ).orderBy("q_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -221,12 +244,110 @@ SELECT qid, doc_id, n_ordered, n_uw8, rnk FROM rk WHERE rnk <= 20
 ORDER BY qid, rnk"""
 
 
+def _ivf_sql(
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    topk: int = IVF_TOPK,
+) -> str:
+    """Replays the deterministic IVF pipeline (operators/ivf.py) as a
+    materialized Lloyd-iteration CTE chain — same construction as the
+    pagerank oracle in parity_ext.py."""
+    parts = [
+        """
+ve AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)""",
+        f"""
+initids AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """
+c0 AS (SELECT ii.cid, ve.i, ve.x FROM ve JOIN initids ii USING (vec_id))""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+d{t} AS (
+  SELECT ve.vec_id, c.cid, sum((ve.x - c.x) * (ve.x - c.x)) AS dist
+  FROM ve JOIN c{t - 1} c ON c.i = ve.i GROUP BY ve.vec_id, c.cid
+),
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+c{t} AS (
+  SELECT a.cid, ve.i, avg(ve.x) AS x
+  FROM ve JOIN a{t} a USING (vec_id) GROUP BY a.cid, ve.i
+)""")
+    parts.append(f"""
+df AS (
+  SELECT ve.vec_id, c.cid, sum((ve.x - c.x) * (ve.x - c.x)) AS dist
+  FROM ve JOIN c{iters} c ON c.i = ve.i GROUP BY ve.vec_id, c.cid
+),
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM df) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+qe AS (
+  SELECT q_id, unnest(q_vec)::DOUBLE AS x, generate_subscripts(q_vec, 1) AS i
+  FROM q
+),
+qd AS (
+  SELECT qe.q_id, c.cid, sum((qe.x - c.x) * (qe.x - c.x)) AS dist
+  FROM qe JOIN c{iters} c ON c.i = qe.i GROUP BY qe.q_id, c.cid
+),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY dist, cid) AS pn
+    FROM qd) WHERE pn <= {nprobe}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id
+  FROM probes p JOIN af a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+),
+dots AS (
+  SELECT c.q_id, c.vec_id, sum(qe.x * ve.x) AS dot
+  FROM cand c
+  JOIN qe ON qe.q_id = c.q_id
+  JOIN ve ON ve.vec_id = c.vec_id AND ve.i = qe.i
+  GROUP BY c.q_id, c.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id),
+cos AS (
+  SELECT d.q_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY floor(cos * 1e9) DESC, vec_id ASC) AS rank,
+         CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+  FROM cos
+)
+SELECT q_id, vec_id, rank, cos_e6 FROM ranked WHERE rank <= {topk}
+ORDER BY q_id, rank""")
+    return "WITH " + ",".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
         "url_dedup": q_url_dedup,
         "dup_clusters": q_dup_clusters,
         "sdm_bigrams": q_sdm_bigrams,
+        "ivf_ann": q_ivf_ann,
     }
 
 
@@ -236,4 +357,5 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_SQL,
         "dup_clusters": _dup_clusters_sql(),
         "sdm_bigrams": _sdm_sql(),
+        "ivf_ann": _ivf_sql(),
     }

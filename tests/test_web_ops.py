@@ -169,3 +169,64 @@ def test_sdm_duplicate_term_bigram_is_directional(spark):
     row = sdm_bigram_counts(docs, queries, window=8).collect()[0]
     # positions {1,2,3}: directional pairs (i,j) i!=j -> 6; ordered j=i+1 -> 2
     assert (row["n_ordered"], row["n_uw"]) == (2, 6)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN vs a numpy Lloyd oracle
+
+
+def _lloyd_numpy(X, k, iters):
+    import numpy as np
+
+    C = X[:k].astype(float).copy()
+    cids = list(range(k))
+    for _ in range(iters):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = D.argmin(axis=1)  # ties -> lowest surviving index
+        newC, newcids = [], []
+        for c in range(C.shape[0]):
+            mask = assign == c
+            if mask.any():
+                newC.append(X[mask].mean(axis=0))
+                newcids.append(cids[c])
+        C = np.array(newC)
+        cids = newcids
+    D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return C, cids, [cids[j] for j in D.argmin(axis=1)]
+
+
+def test_ivf_assignments_match_numpy(spark):
+    import numpy as np
+
+    from knowledgeir_spark.operators.ivf import ivf_build
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    _, _, want = _lloyd_numpy(X, k=8, iters=3)
+    _, assigned = ivf_build(emb, k=8, iters=3)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert [got[r["vec_id"]] for r in rows] == want
+
+
+def test_ivf_topk_recall_floor(spark):
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ivf import ivf_topk
+    from knowledgeir_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, qs, k_clusters=8, iters=3, nprobe=2, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/k = 2/8 of the corpus probed; structured synthetic embeddings
+    # cluster well, so recall should sit far above the 25% probed fraction
+    assert recall >= 0.5, f"IVF recall@10 = {recall:.3f}"
