@@ -71,6 +71,7 @@ def test_all_queries_have_oracles(entry_mod):
     "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
     "bm25_topk_indexed", "user_sessions", "fingerprint_pairs", "rp_lsh_ann",
     "sig_test", "boe_emb_bins",
+    "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ivf_ann",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]

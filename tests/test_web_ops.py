@@ -230,3 +230,51 @@ def test_ivf_topk_recall_floor(spark):
     # nprobe/k = 2/8 of the corpus probed; structured synthetic embeddings
     # cluster well, so recall should sit far above the 25% probed fraction
     assert recall >= 0.5, f"IVF recall@10 = {recall:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# streaming canonical-URL dedup == batch url_dedup keep-list
+
+
+def test_streaming_url_dedup_matches_batch(spark, tmp_path):
+    from knowledgeir_spark.fixtures.webpages import gen_webpages
+    from knowledgeir_spark.streaming.dedup import dedup_url_stream
+
+    pdf = gen_webpages(n_docs=120, with_html=False)
+    # plant re-fetches: every 4th page is a messy variant of an earlier URL
+    for i in range(0, 120, 4):
+        j = (i + 3) % 120
+        pdf.loc[j, "url"] = "HTTP://WWW." + pdf.loc[i, "url"].removeprefix("https://") + "/"
+    df = spark.createDataFrame(pdf)
+    src = str(tmp_path / "pages")
+    # two splits -> at least two micro-batches with maxFilesPerTrigger=1
+    df.limit(60).coalesce(1).write.parquet(src + "/p1")
+    df.subtract(df.limit(60)).coalesce(1).write.parquet(src + "/p2")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+    out = dedup_url_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName("urldedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("select canonical from urldedup").collect()
+    got_canon = [r["canonical"] for r in got]
+    from knowledgeir_spark.functions.url import canonical_url as cu
+
+    want = {
+        r["c"] for r in df.select(cu(F.col("url")).alias("c")).distinct().collect()
+    }
+    # exactly one emitted row per canonical URL, covering every canonical
+    assert len(got_canon) == len(set(got_canon))
+    assert set(got_canon) == want
+    assert len(want) < 120  # the planted re-fetches actually collide
