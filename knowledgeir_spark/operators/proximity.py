@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["token_positions", "query_bigrams", "sdm_bigram_counts"]
+__all__ = [
+    "token_positions",
+    "query_bigrams",
+    "sdm_bigram_counts",
+    "sdm_rerank",
+]
 
 
 def token_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,4 +88,53 @@ def sdm_bigram_counts(
     return pairs.groupBy("qid", "doc_id").agg(
         F.sum((F.col("j") == F.col("i") + 1).cast("long")).alias("n_ordered"),
         F.count("*").alias("n_uw"),
+    )
+
+
+def sdm_rerank(
+    scored: DataFrame,
+    sdm_counts: DataFrame,
+    depth: int = 100,
+    k: int = 20,
+    w_ordered: float = 0.5,
+    w_window: float = 0.3,
+) -> DataFrame:
+    """Match-then-rerank: blend proximity evidence into a first-pass score.
+
+    `scored` is (qid, doc_id, score) from any retrieval model (full-scan or
+    the posting index); `sdm_counts` is sdm_bigram_counts' output.  The
+    candidate set is cut to `depth` per query FIRST, so at serving scale
+    the proximity join touches depth*|q| rows, not the corpus — the
+    standard two-phase serving layout (cheap bag-of-words match, expensive
+    positional rerank on the head).
+
+        final = score + w_ordered*ln(1+n_ordered) + w_window*ln(1+n_uw)
+
+    Returns (qid, doc_id, rank, score) for the top-k by the quantized key
+    (floor(final*1e9) desc, doc_id asc).
+    """
+    wc = Window.partitionBy("qid").orderBy(
+        F.floor(F.col("score") * 1e9).desc(), F.col("doc_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= depth)
+        .drop("crank")
+    )
+    j = cand.join(sdm_counts, ["qid", "doc_id"], "left").select(
+        "qid",
+        "doc_id",
+        (
+            F.col("score")
+            + w_ordered * F.log(1 + F.coalesce(F.col("n_ordered"), F.lit(0)))
+            + w_window * F.log(1 + F.coalesce(F.col("n_uw"), F.lit(0)))
+        ).alias("score"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.floor(F.col("score") * 1e9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
     )

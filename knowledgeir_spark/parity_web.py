@@ -22,12 +22,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.scoring import bm25_contrib, bm25_finalize, ordered_sum
 from .functions.url import host_stats, url_dedup
 from .operators.dedup import minhash_lsh_dedup
 from .operators.graph import dup_clusters
 from .operators.ivf import ivf_topk
-from .operators.proximity import sdm_bigram_counts
-from .parity import ENTRY_QUERIES, _docs, _sql_queries_values
+from .operators.proximity import sdm_bigram_counts, sdm_rerank
+from .parity import (
+    ENTRY_QUERIES,
+    TOPK,
+    _SQL_TOK,
+    _docs,
+    _scored_matched,
+    _sql_queries_values,
+)
 from .parity_ext import MINHASH_THRESHOLD, N_BANDS, N_HASHES, _minhash_sql
 
 # ---------------------------------------------------------------------------
@@ -109,13 +117,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sdm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = [
-        (qid, term, pos)
-        for qid, q in ENTRY_QUERIES
-        for pos, term in enumerate(q.lower().split())
-    ]
-    qdf = spark.createDataFrame(rows, "qid int, term string, pos int")
-    counts = sdm_bigram_counts(_docs(spark, sf_dir), qdf, window=8)
+    counts = sdm_bigram_counts(_docs(spark, sf_dir), _query_terms(spark), window=8)
     w = Window.partitionBy("qid").orderBy(
         F.desc("n_ordered"), F.desc("n_uw"), F.col("doc_id")
     )
@@ -125,6 +127,45 @@ def q_sdm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "doc_id", "n_ordered", F.col("n_uw").alias("n_uw8"), "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+RERANK_DEPTH = 100
+RERANK_W_ORD = 0.5
+RERANK_W_UW = 0.3
+
+
+def _query_terms(spark: SparkSession) -> DataFrame:
+    rows = [
+        (qid, term, pos)
+        for qid, q in ENTRY_QUERIES
+        for pos, term in enumerate(q.lower().split())
+    ]
+    return spark.createDataFrame(rows, "qid int, term string, pos int")
+
+
+def q_sdm_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase serving: reference-quirk BM25 match to depth 100, then
+    proximity-blended rerank to top-20 (operators/proximity.sdm_rerank)."""
+    matched, n, avgdl = _scored_matched(spark, sf_dir)
+    scored = matched.groupBy("qid", "doc_id").agg(
+        bm25_finalize(
+            ordered_sum(
+                F.col("term_idx"),
+                bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
+            )
+        ).alias("score")
+    )
+    sdm = sdm_bigram_counts(_docs(spark, sf_dir), _query_terms(spark), window=8)
+    res = sdm_rerank(
+        scored, sdm, depth=RERANK_DEPTH, k=TOPK,
+        w_ordered=RERANK_W_ORD, w_window=RERANK_W_UW,
+    )
+    return res.select(
+        "qid",
+        "doc_id",
+        "rank",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    ).orderBy("qid", "rank")
 
 
 IVF_K = 8
@@ -244,6 +285,93 @@ SELECT qid, doc_id, n_ordered, n_uw8, rnk FROM rk WHERE rnk <= 20
 ORDER BY qid, rnk"""
 
 
+def _sdm_rerank_sql() -> str:
+    # phase 1 (scored CTE) is the bm25 oracle's scoring text verbatim
+    # (parity._bm25_sql — keep in sync); phase 2 composes the sdm oracle's
+    # position CTEs under p-prefixed names to avoid colliding with _SQL_TOK
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+cand AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY floor(score * 1e9) DESC, doc_id) AS crank
+    FROM scored) WHERE crank <= {RERANK_DEPTH}
+),
+bg AS (
+  SELECT a.qid, a.pos AS bg_id, a.term AS term_a, b.term AS term_b
+  FROM q_raw a JOIN q_raw b ON b.qid = a.qid AND b.pos = a.pos + 1
+),
+praw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS ord
+  FROM documents
+),
+ptp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+  FROM praw WHERE term <> ''
+),
+ppa AS (
+  SELECT bg.qid, bg.bg_id, ptp.doc_id, ptp.pos AS i
+  FROM bg JOIN ptp ON ptp.term = bg.term_a
+),
+ppb AS (
+  SELECT bg.qid, bg.bg_id, ptp.doc_id, ptp.pos AS j
+  FROM bg JOIN ptp ON ptp.term = bg.term_b
+),
+ppairs AS (
+  SELECT ppa.qid, ppa.doc_id, ppa.i, ppb.j
+  FROM ppa JOIN ppb ON ppb.qid = ppa.qid AND ppb.bg_id = ppa.bg_id
+                   AND ppb.doc_id = ppa.doc_id
+  WHERE ppa.i <> ppb.j AND abs(ppb.j - ppa.i) <= 7
+),
+sdm AS (
+  SELECT qid, doc_id,
+         sum(CASE WHEN j = i + 1 THEN 1 ELSE 0 END)::BIGINT AS n_ordered,
+         count(*)::BIGINT AS n_uw
+  FROM ppairs GROUP BY qid, doc_id
+),
+final AS (
+  SELECT c.qid, c.doc_id,
+         c.score + {RERANK_W_ORD} * ln(1 + coalesce(s.n_ordered, 0))
+                 + {RERANK_W_UW} * ln(1 + coalesce(s.n_uw, 0)) AS score
+  FROM cand c LEFT JOIN sdm s ON s.qid = c.qid AND s.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+         CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM final
+)
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
 def _ivf_sql(
     k: int = IVF_K,
     iters: int = IVF_ITERS,
@@ -347,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dup_clusters": q_dup_clusters,
         "sdm_bigrams": q_sdm_bigrams,
+        "sdm_rerank": q_sdm_rerank,
         "ivf_ann": q_ivf_ann,
     }
 
@@ -357,5 +486,6 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_SQL,
         "dup_clusters": _dup_clusters_sql(),
         "sdm_bigrams": _sdm_sql(),
+        "sdm_rerank": _sdm_rerank_sql(),
         "ivf_ann": _ivf_sql(),
     }

@@ -278,3 +278,20 @@ def test_streaming_url_dedup_matches_batch(spark, tmp_path):
     assert len(got_canon) == len(set(got_canon))
     assert set(got_canon) == want
     assert len(want) < 120  # the planted re-fetches actually collide
+
+
+def test_sdm_rerank_prefers_phrase_order(spark):
+    """Two docs with identical bag-of-words score; the one containing the
+    query as an adjacent phrase must rank first after the rerank."""
+    from knowledgeir_spark.operators.proximity import sdm_rerank
+
+    scored = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 2.0)], "qid int, doc_id long, score double"
+    )
+    sdm = spark.createDataFrame(
+        [(1, 11, 1, 1)], "qid int, doc_id long, n_ordered long, n_uw long"
+    )
+    out = sdm_rerank(scored, sdm, depth=10, k=2).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [(11, 1), (10, 2)]
+    # doc 10 (no proximity evidence) keeps its raw score
+    assert abs(out[1]["score"] - 2.0) < 1e-12
