@@ -129,3 +129,42 @@ def test_dedup_candidate_join_is_bucketed(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sdm_bigram_join_broadcasts_query_side(spark):
+    """The proximity position-extraction join must broadcast the (tiny)
+    bigram table — no shuffle of the token-position table to co-locate it
+    with query terms."""
+    from knowledgeir_spark.operators.proximity import sdm_bigram_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = spark.createDataFrame(
+        [(1, "spark", 0), (1, "query", 1)], "qid int, term string, pos int"
+    )
+    plan = _plan(sdm_bigram_counts(docs, queries))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_url_host_stats_prunes_columns(spark, tmp_path):
+    """host_stats must read only the columns it needs from the scan."""
+    from knowledgeir_spark.functions.url import host_stats
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "https://a.com/x", "en", 5, "padding-column")],
+        "doc_id long, url string, lang string, n_chars long, extra string",
+    ).write.parquet(p)
+    plan = _plan(host_stats(spark.read.parquet(p)))
+    rs = plan.split("ReadSchema")[1][:200]
+    assert "url" in rs and "extra" not in rs, plan
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """Centroids are broadcast as literals: assigning vectors to buckets
+    must not shuffle the vector table."""
+    from knowledgeir_spark.operators.ivf import ivf_assign_expr
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
+    df = emb.select("vec_id", ivf_assign_expr("embedding", cents).alias("cid"))
+    assert "Exchange" not in _plan(df), _plan(df)
