@@ -38,6 +38,7 @@ __all__ = [
     "token_positions",
     "query_bigrams",
     "sdm_bigram_counts",
+    "candidate_cut",
     "sdm_rerank",
 ]
 
@@ -66,13 +67,25 @@ def query_bigrams(queries: DataFrame) -> DataFrame:
 
 
 def sdm_bigram_counts(
-    docs: DataFrame, queries: DataFrame, window: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(qid, doc) sequential-dependence counts (see module docstring).
 
     Returns (qid, doc_id, n_ordered, n_uw) for documents where at least one
     bigram co-occurs within the window; n_uw uses |i-j| <= window-1.
+
+    `candidates` (any frame with a doc_id column, e.g. a first-pass top-N)
+    semi-joins the corpus BEFORE tokenization — the serving-rerank path
+    touches depth*|queries| documents, not the corpus.
     """
+    if candidates is not None:
+        docs = docs.join(
+            candidates.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     bg = F.broadcast(query_bigrams(queries))
     tp = token_positions(docs, text_col)
     pa = bg.join(tp, tp["term"] == bg["term_a"]).select(
@@ -88,6 +101,18 @@ def sdm_bigram_counts(
     return pairs.groupBy("qid", "doc_id").agg(
         F.sum((F.col("j") == F.col("i") + 1).cast("long")).alias("n_ordered"),
         F.count("*").alias("n_uw"),
+    )
+
+
+def candidate_cut(scored: DataFrame, depth: int = 100) -> DataFrame:
+    """First-pass top-`depth` per query by the quantized rank key."""
+    wc = Window.partitionBy("qid").orderBy(
+        F.floor(F.col("score") * 1e9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= depth)
+        .drop("crank")
     )
 
 
@@ -113,14 +138,7 @@ def sdm_rerank(
     Returns (qid, doc_id, rank, score) for the top-k by the quantized key
     (floor(final*1e9) desc, doc_id asc).
     """
-    wc = Window.partitionBy("qid").orderBy(
-        F.floor(F.col("score") * 1e9).desc(), F.col("doc_id").asc()
-    )
-    cand = (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .where(F.col("crank") <= depth)
-        .drop("crank")
-    )
+    cand = candidate_cut(scored, depth)
     j = cand.join(sdm_counts, ["qid", "doc_id"], "left").select(
         "qid",
         "doc_id",

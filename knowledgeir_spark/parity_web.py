@@ -27,7 +27,7 @@ from .functions.url import host_stats, url_dedup
 from .operators.dedup import minhash_lsh_dedup
 from .operators.graph import dup_clusters
 from .operators.ivf import ivf_topk
-from .operators.proximity import sdm_bigram_counts, sdm_rerank
+from .operators.proximity import candidate_cut, sdm_bigram_counts, sdm_rerank
 from .parity import (
     ENTRY_QUERIES,
     TOPK,
@@ -155,9 +155,15 @@ def q_sdm_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("score")
     )
-    sdm = sdm_bigram_counts(_docs(spark, sf_dir), _query_terms(spark), window=8)
+    cand = candidate_cut(scored, RERANK_DEPTH)
+    # serving shape: the positional scan touches only first-pass candidates
+    # (the oracle computes sdm over all docs; restriction is result-invisible
+    # because the blend only reads sdm rows for candidate (qid, doc_id)s)
+    sdm = sdm_bigram_counts(
+        _docs(spark, sf_dir), _query_terms(spark), window=8, candidates=cand
+    )
     res = sdm_rerank(
-        scored, sdm, depth=RERANK_DEPTH, k=TOPK,
+        cand, sdm, depth=RERANK_DEPTH, k=TOPK,
         w_ordered=RERANK_W_ORD, w_window=RERANK_W_UW,
     )
     return res.select(
