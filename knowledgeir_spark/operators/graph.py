@@ -47,12 +47,14 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in `edges`.
 
     cluster_id is the minimum node id of the component.  Raises if the
     fixpoint is not reached within max_iter rounds (diameter bound blown —
-    switch to large-star/small-star per the module docstring).
+    switch to large-star/small-star per the module docstring).  Pass a
+    dict as `stats` to receive {"rounds": n} (bench/test introspection).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -62,7 +64,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")
         )
@@ -81,6 +83,8 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = round_no
             return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
