@@ -23,16 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.scoring import bm25_contrib, bm25_finalize, ordered_sum
+from .functions.text import tokenize_simple_expr
 from .functions.url import host_stats, url_dedup
 from .operators.dedup import minhash_lsh_dedup
 from .operators.graph import dup_clusters
 from .operators.ivf import ivf_topk
 from .operators.proximity import candidate_cut, sdm_bigram_counts, sdm_rerank
+from .operators.spell import spell_correct, vocab_df
 from .parity import (
     ENTRY_QUERIES,
     TOPK,
     _SQL_TOK,
+    _doc_tf,
     _docs,
+    _query_terms_df,
     _scored_matched,
     _sql_queries_values,
 )
@@ -194,6 +198,48 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.floor(F.col("cos") * 1e6).cast("long").alias("cos_e6"),
     ).orderBy("q_id", "rank")
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F over deterministically derived fields (title = first 6 tokens,
+    body = rest) so DuckDB can replay the field split; on real web pages
+    the fields come from functions/html.with_extracted_text instead."""
+    from .operators.fielded import bm25f_topk
+
+    docs = _docs(spark, sf_dir)
+    toks = tokenize_simple_expr(F.col("text"))
+    fdocs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        F.concat_ws(
+            " ", F.slice(toks, 7, F.greatest(F.size(toks) - 6, F.lit(0)))
+        ).alias("body"),
+    )
+    res = bm25f_topk(fdocs, _query_terms_df(spark), k=TOPK)
+    return res.select(
+        "qid",
+        "doc_id",
+        "rank",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spell correction (operators/spell.py) over the corpus
+    vocabulary.  Misspelled inputs are derived deterministically from the
+    vocabulary itself (terms with df >= 2 and length >= 5, 3rd char
+    dropped) so both engines correct the same typo set; the Spark side
+    runs the scalable delete-key join, the oracle the brute-force
+    cross-join + levenshtein spec — they must agree exactly."""
+    vocab = vocab_df(_doc_tf(spark, sf_dir))
+    inputs = (
+        vocab.filter((F.length("term") >= 5) & (F.col("df") >= 2))
+        .select(
+            F.expr("concat(substring(term, 1, 2), substring(term, 4))").alias("input")
+        )
+        .distinct()
+    )
+    return spell_correct(inputs, vocab).orderBy("input")
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +521,87 @@ ORDER BY q_id, rank""")
     return "WITH " + ",".join(parts)
 
 
+def _bm25f_sql() -> str:
+    """Replays the BM25F program (operators/fielded.py) field-for-field:
+    same token slices, same conditional field pivot, same Lucene-style
+    ln(1 + idf) — only the per-(qid,doc) sum order differs, absorbed by
+    the floor-quantized outputs like every other scoring row."""
+    return f"""
+WITH
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field, unnest(list_slice(l, 1, 6)) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(list_slice(l, 7, len(l))) AS term FROM toks
+),
+fw(field, w, b) AS (VALUES ('title', 2.0, 0.75), ('body', 1.0, 0.75)),
+ftf AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf
+  FROM ftok GROUP BY doc_id, field, term
+),
+flen AS (
+  SELECT doc_id, field, sum(tf)::BIGINT AS flen FROM ftf GROUP BY doc_id, field
+),
+avgl AS (
+  SELECT field, sum(flen)::DOUBLE / (SELECT count(*) FROM documents) AS avglen
+  FROM flen GROUP BY field
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftf GROUP BY term),
+wtf AS (
+  SELECT ftf.doc_id, ftf.term,
+         sum(fw.w * (ftf.tf / (1 - fw.b + fw.b * flen.flen / avgl.avglen))) AS wtf
+  FROM ftf
+  JOIN flen USING (doc_id, field) JOIN avgl USING (field) JOIN fw USING (field)
+  GROUP BY ftf.doc_id, ftf.term
+),
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+scored AS (
+  SELECT qid, doc_id,
+         sum(ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * wtf / (1.2 + wtf)) AS score
+  FROM qd JOIN wtf USING (term) JOIN dfs USING (term), stats s
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+         CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM scored
+)
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
+_SPELL_SQL = f"""
+WITH {_SQL_TOK},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+inputs AS (
+  SELECT DISTINCT substr(term, 1, 2) || substr(term, 4) AS input
+  FROM vocab WHERE length(term) >= 5 AND df >= 2
+),
+cand AS (
+  SELECT i.input, v.term AS suggestion,
+         levenshtein(i.input, v.term) AS ed, v.df AS sugg_df
+  FROM inputs i, vocab v
+  WHERE length(i.input) >= 3 AND levenshtein(i.input, v.term) <= 1
+),
+pick AS (
+  SELECT input, suggestion, ed, sugg_df,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY ed, sugg_df DESC, suggestion) AS rn
+  FROM cand
+)
+SELECT input, suggestion, ed, sugg_df FROM pick WHERE rn = 1 ORDER BY input"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
@@ -483,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_bigrams": q_sdm_bigrams,
         "sdm_rerank": q_sdm_rerank,
         "ivf_ann": q_ivf_ann,
+        "spell_correct": q_spell_correct,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -494,4 +623,6 @@ def oracle_sql() -> dict[str, str]:
         "sdm_bigrams": _sdm_sql(),
         "sdm_rerank": _sdm_rerank_sql(),
         "ivf_ann": _ivf_sql(),
+        "spell_correct": _SPELL_SQL,
+        "bm25f_topk": _bm25f_sql(),
     }

@@ -295,3 +295,85 @@ def test_sdm_rerank_prefers_phrase_order(spark):
     assert [(r["doc_id"], r["rank"]) for r in out] == [(11, 1), (10, 2)]
     # doc 10 (no proximity evidence) keeps its raw score
     assert abs(out[1]["score"] - 2.0) < 1e-12
+
+
+def test_spell_correct_semantics(spark):
+    """Delete-key candidate join must agree with the brute-force lev<=1
+    spec: substitution/insertion/deletion corrected, transposition (lev=2)
+    NOT corrected, in-vocab inputs pass through at ed=0, and ties break by
+    df desc then term asc."""
+    from knowledgeir_spark.operators.spell import spell_correct
+
+    vocab = spark.createDataFrame(
+        [("spark", 100), ("stark", 40), ("sparks", 10), ("join", 80),
+         ("joins", 30), ("about", 60)],
+        "term string, df long",
+    )
+    inputs = spark.createDataFrame(
+        [("spark",),   # in vocab -> itself, ed 0
+         ("sprk",),    # deletion -> spark
+         ("sparkk",),  # insertion -> spark (beats sparks on df)
+         ("syark",),   # substitution -> spark (beats stark on df)
+         ("abuot",),   # transposition: lev=2 from about -> NO row
+         ("zzz",),     # nothing within ed 1 -> NO row
+         ("jo",)],     # under min_len -> NO row
+        "input string",
+    )
+    got = {r["input"]: (r["suggestion"], r["ed"], r["sugg_df"])
+           for r in spell_correct(inputs, vocab).collect()}
+    assert got == {
+        "spark": ("spark", 0, 100),
+        "sprk": ("spark", 1, 100),
+        "sparkk": ("spark", 1, 100),
+        "syark": ("spark", 1, 100),
+    }
+
+
+def test_spell_correct_tie_breaks(spark):
+    from knowledgeir_spark.operators.spell import spell_correct
+
+    vocab = spark.createDataFrame(
+        [("cat", 5), ("car", 5), ("cab", 9)], "term string, df long"
+    )
+    # "caX" is ed-1 from all three: df desc picks cab; drop cab -> term asc
+    got = spell_correct(
+        spark.createDataFrame([("caq",)], "input string"), vocab
+    ).collect()
+    assert (got[0]["suggestion"], got[0]["ed"]) == ("cab", 1)
+    got2 = spell_correct(
+        spark.createDataFrame([("caq",)], "input string"),
+        vocab.filter("term <> 'cab'"),
+    ).collect()
+    assert got2[0]["suggestion"] == "car"
+
+
+def test_bm25f_title_boost(spark):
+    """Same term, same tf: a title hit must outrank a body-only hit, and an
+    absent term scores nothing."""
+    from knowledgeir_spark.operators.fielded import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie", "banana cherry cherry"),
+         (2, "banana split", "apple apple cherry"),
+         (3, "cherry tart", "cherry cherry cherry")],
+        "doc_id long, title string, body string",
+    )
+    q = spark.createDataFrame([(1, "banana", 0)], "qid long, term string, term_idx long")
+    out = bm25f_topk(docs, q, k=10).orderBy("rank").collect()
+    # doc 2 has banana in TITLE (weight 2.0); doc 1 once in body only
+    assert [r["doc_id"] for r in out] == [2, 1]
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25f_multifield_tf_pools_across_fields(spark):
+    """df is doc-level: a term present in both fields of one doc counts one
+    doc toward df, and its wtf pools both fields' normalized tf."""
+    from knowledgeir_spark.operators.fielded import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "x z"), (2, "y y", "z z")],
+        "doc_id long, title string, body string",
+    )
+    q = spark.createDataFrame([(1, "x", 0)], "qid long, term string, term_idx long")
+    out = bm25f_topk(docs, q, k=10).collect()
+    assert [r["doc_id"] for r in out] == [1]
