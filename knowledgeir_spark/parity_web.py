@@ -200,6 +200,36 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+SNIPPET_WINDOW = 12
+SNIPPET_DEPTH = 5
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-biased snippets for the BM25 top-5 of every query
+    (operators/snippet.py), oracle-gated by composing the bm25 oracle's
+    candidate CTE with a positional window-count replay — the snippet
+    STRING itself is compared, not just its coordinates."""
+    from .operators.snippet import best_snippets
+
+    matched, n, avgdl = _scored_matched(spark, sf_dir)
+    scored = matched.groupBy("qid", "doc_id").agg(
+        bm25_finalize(
+            ordered_sum(
+                F.col("term_idx"),
+                bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
+            )
+        ).alias("score")
+    )
+    cand = candidate_cut(scored, SNIPPET_DEPTH).select("qid", "doc_id")
+    res = best_snippets(
+        _docs(spark, sf_dir),
+        _query_terms(spark),
+        cand,
+        window=SNIPPET_WINDOW,
+    )
+    return res.orderBy("qid", "doc_id")
+
+
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F over deterministically derived fields (title = first 6 tokens,
     body = rest) so DuckDB can replay the field split; on real web pages
@@ -521,6 +551,79 @@ ORDER BY q_id, rank""")
     return "WITH " + ",".join(parts)
 
 
+def _snippets_sql() -> str:
+    """Phase 1 is the bm25 oracle's scoring text verbatim (keep in sync with
+    parity._bm25_sql), cut at depth 5; phase 2 replays the snippet spec:
+    1-based positions over non-empty simple tokens, window starts at match
+    positions, count ties broken by earliest start, snippet = the token
+    slice joined by spaces."""
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+cand AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY floor(score * 1e9) DESC, doc_id) AS rn
+    FROM scored) WHERE rn <= {SNIPPET_DEPTH}
+),
+ptoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+praw AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM ptoks
+),
+pm AS (
+  SELECT q.qid, c.doc_id, praw.pos
+  FROM (SELECT DISTINCT qid, term FROM q_raw) q
+  JOIN praw ON praw.term = q.term
+  JOIN cand c ON c.qid = q.qid AND c.doc_id = praw.doc_id
+),
+wnd AS (
+  SELECT m1.qid, m1.doc_id, m1.pos AS start, count(*)::BIGINT AS n_matches
+  FROM pm m1
+  JOIN pm m2 ON m2.qid = m1.qid AND m2.doc_id = m1.doc_id
+            AND m2.pos >= m1.pos AND m2.pos < m1.pos + {SNIPPET_WINDOW}
+  GROUP BY m1.qid, m1.doc_id, m1.pos
+),
+best AS (
+  SELECT qid, doc_id, start, n_matches,
+         row_number() OVER (PARTITION BY qid, doc_id
+                            ORDER BY n_matches DESC, start) AS rn
+  FROM wnd
+)
+SELECT b.qid, b.doc_id, b.start AS start_pos, b.n_matches,
+       array_to_string(list_slice(p.l, b.start, b.start + {SNIPPET_WINDOW - 1}),
+                       ' ') AS snippet
+FROM best b JOIN ptoks p ON p.doc_id = b.doc_id
+WHERE b.rn = 1
+ORDER BY b.qid, b.doc_id"""
+
+
 def _bm25f_sql() -> str:
     """Replays the BM25F program (operators/fielded.py) field-for-field:
     same token slices, same conditional field pivot, same Lucene-style
@@ -612,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "spell_correct": q_spell_correct,
         "bm25f_topk": q_bm25f_topk,
+        "snippets": q_snippets,
     }
 
 
@@ -625,4 +729,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_sql(),
         "spell_correct": _SPELL_SQL,
         "bm25f_topk": _bm25f_sql(),
+        "snippets": _snippets_sql(),
     }

@@ -377,3 +377,32 @@ def test_bm25f_multifield_tf_pools_across_fields(spark):
     q = spark.createDataFrame([(1, "x", 0)], "qid long, term string, term_idx long")
     out = bm25f_topk(docs, q, k=10).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_best_snippets_picks_densest_window(spark):
+    """Window must start at a match, maximize query-term occurrences, break
+    ties earliest, and render the exact token slice."""
+    from knowledgeir_spark.operators.snippet import best_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x x x q w e q w q"), (2, "nothing here matches")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "q"), (1, "w")], "qid long, term string")
+    cand = spark.createDataFrame([(1, 1), (1, 2)], "qid long, doc_id long")
+    out = best_snippets(docs, q, cand, window=3).collect()
+    # doc 2 has no match -> no row; doc 1 best window starts at pos 10
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["start_pos"], r["n_matches"], r["snippet"]) == (
+        1, 10, 3, "q w q")
+
+
+def test_best_snippets_tie_prefers_earliest(spark):
+    from knowledgeir_spark.operators.snippet import best_snippets
+
+    docs = spark.createDataFrame([(1, "q a a a q b b")], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "q")], "qid long, term string")
+    cand = spark.createDataFrame([(1, 1)], "qid long, doc_id long")
+    r = best_snippets(docs, q, cand, window=2).collect()[0]
+    assert (r["start_pos"], r["n_matches"], r["snippet"]) == (1, 1, "q a")
