@@ -782,6 +782,19 @@ def main() -> None:
         )
         results[name] = sec
         leg_evidence[name] = ev
+
+    # 5. round-4 serving features (spell / BM25F / snippets), recorded in
+    # extras rather than results so the headline suite total stays
+    # comparable with earlier rounds' artifacts
+    from knowledgeir_spark import parity_web
+
+    web_legs: dict[str, dict] = {}
+    for name in ("spell_correct", "bm25f_topk", "snippets"):
+        sec, ev, _ = _timed_leg(
+            lambda: parity_web.queries()[name](spark, SF_DIR).collect(), n_leg
+        )
+        web_legs[name] = {"sec": sec, **ev}
+    extras["web_serving_legs"] = web_legs
     extras["leg_evidence"] = leg_evidence
 
     spark.stop()

@@ -702,6 +702,36 @@ def _query_term_dicts(queries: list[tuple[str, str]]):
     return q_terms, all_terms
 
 
+def _delete1_py(t: str) -> list[str]:
+    """The term itself + every single-char deletion (SymSpell key set) —
+    mirrors operators/spell.delete1_keys."""
+    return [t] + [t[:i] + t[i + 1:] for i in range(len(t))]
+
+
+def _lev_le1(a: str, b: str) -> int | None:
+    """0 if equal, 1 if levenshtein(a, b) == 1, else None (cheap exact
+    check — candidates come pre-screened by delete-key intersection)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return None
+                seen = True
+        return 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
 class IndexReader:
     """Reads a committed index (build.build_index layout)."""
 
@@ -737,6 +767,8 @@ class IndexReader:
             max_postings=max(10_000_000,
                              12 * int(self.field_stats.get("n_docs", 0)))
         )
+        # lazy delete-key index for suggest(); built once per reader
+        self._spell_index: dict[str, list[str]] | None = None
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
@@ -939,6 +971,59 @@ class IndexReader:
             cached += len(ids)
         return {"terms_warmed": warmed, "postings_cached": cached,
                 "sec": round(time.time() - t0, 3)}
+
+    def suggest(
+        self, terms: list[str], min_len: int = 3
+    ) -> dict[str, tuple[str, int, float]]:
+        """Serving-side spell correction: {input: (suggestion, ed, df)} —
+        the SAME spec as operators/spell.spell_correct (edit distance <= 1
+        candidates via symmetric deletes, ranked (ed asc, df desc, term
+        asc); in-vocab inputs return themselves at ed 0).
+
+        When the vocabulary fits the driver-side df cache (the common
+        serving case), the delete-key index is built once per reader and
+        lookups are dictionary probes — microseconds per query term.
+        Oversized vocabularies fall back to the distributed operator over
+        the term_stats table.
+        """
+        self.term_stats_for([])  # run the cache size-check once
+        if self._df_cache is None:
+            from ..operators.spell import spell_correct
+
+            inp = self.spark.createDataFrame(
+                [(t,) for t in terms], "input string"
+            )
+            rows = spell_correct(
+                inp, self._term_stats.select("term", "df"), min_len=min_len
+            ).collect()
+            return {
+                r["input"]: (r["suggestion"], r["ed"], float(r["sugg_df"]))
+                for r in rows
+            }
+        if self._spell_index is None:
+            idx: dict[str, list[str]] = {}
+            for t in self._df_cache:
+                for dk in _delete1_py(t):
+                    idx.setdefault(dk, []).append(t)
+            self._spell_index = idx
+        out: dict[str, tuple[str, int, float]] = {}
+        for t in dict.fromkeys(terms):
+            if len(t) < min_len:
+                continue
+            cands: set[str] = set()
+            for dk in _delete1_py(t):
+                cands.update(self._spell_index.get(dk, ()))
+            best = None
+            for c in cands:
+                ed = _lev_le1(t, c)
+                if ed is None:
+                    continue
+                key = (ed, -self._df_cache[c], c)
+                if best is None or key < best[0]:
+                    best = (key, c, ed)
+            if best is not None:
+                out[t] = (best[1], best[2], self._df_cache[best[1]])
+        return out
 
     def search_local(
         self,

@@ -487,3 +487,33 @@ def test_dense_scorer_candidate_filter_narrows_fillin():
     # k=3 keeps only the top-tf anchor docs (all in the mid-free id half):
     # the fill-in decodes nothing beyond the anchor block
     assert decoded[3] < decoded[10] <= total * 0.1, (decoded, total)
+
+
+def test_reader_suggest_matches_spark_operator(spark, built):
+    """IndexReader.suggest (driver-side delete-key index) and the
+    distributed spell_correct operator must implement the same spec over
+    the same vocabulary — including the oversized-vocab fallback path."""
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.spell import spell_correct
+
+    rd = IndexReader(spark, built["idx_dir"])
+    vocab = spark.read.parquet(f"{built['idx_dir']}/term_stats").select("term", "df")
+    # derive typo inputs from real vocab terms (drop 3rd char) + controls
+    terms = [r["term"] for r in vocab.orderBy(F.col("df").desc()).limit(8).collect()]
+    inputs = [t[:2] + t[3:] for t in terms if len(t) >= 5] + ["zzzzqq", terms[0]]
+    want_rows = spell_correct(
+        spark.createDataFrame([(t,) for t in inputs], "input string"), vocab
+    ).collect()
+    want = {r["input"]: (r["suggestion"], r["ed"], float(r["sugg_df"]))
+            for r in want_rows}
+    got = rd.suggest(inputs)
+    assert got == want
+    assert want[terms[0]][1] == 0  # in-vocab passes through at ed 0
+
+    # force the oversized-vocabulary fallback (no driver df cache)
+    rd2 = IndexReader(spark, built["idx_dir"])
+    rd2._TERM_STATS_CACHE_MAX = 0
+    got2 = rd2.suggest(inputs)
+    assert rd2._df_cache is None
+    assert got2 == want

@@ -168,3 +168,51 @@ def test_ivf_assignment_is_map_side(spark):
     cents = [(0, [0.0] * 64), (1, [1.0] * 64)]
     df = emb.select("vec_id", ivf_assign_expr("embedding", cents).alias("cid"))
     assert "Exchange" not in _plan(df), _plan(df)
+
+
+def test_spell_correct_never_cross_joins(spark):
+    """The SymSpell candidate stage must be an equi-join on the delete key —
+    a cross join with a levenshtein filter (the oracle's formulation) would
+    be quadratic in vocabulary size."""
+    from knowledgeir_spark.operators.spell import spell_correct
+
+    vocab = spark.createDataFrame(
+        [("spark", 10), ("query", 5)], "term string, df long"
+    )
+    inputs = spark.createDataFrame([("sprk",)], "input string")
+    plan = _plan(spell_correct(inputs, vocab))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25f_broadcasts_small_sides(spark):
+    """BM25F: per-field avg lengths, the field-spec table, and the query
+    terms are all broadcast — the only shuffles are the term aggregations."""
+    from knowledgeir_spark.operators.fielded import bm25f_topk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id",
+            F.substring("text", 1, 30).alias("title"),
+            F.col("text").alias("body"),
+        )
+    )
+    q = spark.createDataFrame([(1, "spark", 0)], "qid long, term string, term_idx long")
+    plan = _plan(bm25f_topk(docs, q))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snippets_restrict_to_candidates_and_broadcast_queries(spark):
+    """The snippet positional explode must join candidates before the
+    window self-join (serving cost is k*|queries| docs) with the query
+    terms broadcast."""
+    from knowledgeir_spark.operators.snippet import best_snippets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame([(1, "spark")], "qid long, term string")
+    cand = spark.createDataFrame([(1, 3)], "qid long, doc_id long")
+    plan = _plan(best_snippets(docs, q, cand))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
