@@ -60,6 +60,53 @@ def vocab_df(doc_tf: DataFrame) -> DataFrame:
     return doc_tf.groupBy("term").agg(F.count("*").alias("df"))
 
 
+def prefix_suggest(
+    vocab: DataFrame,
+    prefixes: DataFrame,
+    n: int = 5,
+    prefix_col: str = "prefix",
+    max_key_len: int = 10,
+) -> DataFrame:
+    """Query autocomplete: top-``n`` vocabulary completions per prefix,
+    ranked (df desc, term asc): (prefix, term, df, rank).
+
+    Scale shape: the vocabulary side explodes each term into its prefixes
+    of length 1..min(len, ``max_key_len``) — a bounded fan-out like the
+    spell delete keys — and the match is an equi-join on the prefix key,
+    never a LIKE scan.  Inputs longer than ``max_key_len`` join on their
+    first ``max_key_len`` chars and are refiltered with an exact
+    startswith, so correctness does not depend on the cap.
+    """
+    inp = (
+        prefixes.select(F.col(prefix_col).alias("prefix"))
+        .filter(F.length("prefix") >= 1)
+        .distinct()
+        .withColumn("pkey", F.substring("prefix", 1, max_key_len))
+    )
+    keys = vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("term"), F.lit(max_key_len))),
+                lambda i: F.substring("term", F.lit(1), i),
+            )
+        ).alias("pkey"),
+    )
+    cand = (
+        inp.join(keys, "pkey")
+        .filter(F.col("term").startswith(F.col("prefix")))
+        .select("prefix", "term", "df")
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def spell_correct(
     inputs: DataFrame,
     vocab: DataFrame,

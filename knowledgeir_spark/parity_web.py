@@ -29,7 +29,7 @@ from .operators.dedup import minhash_lsh_dedup
 from .operators.graph import dup_clusters
 from .operators.ivf import ivf_topk
 from .operators.proximity import candidate_cut, sdm_bigram_counts, sdm_rerank
-from .operators.spell import spell_correct, vocab_df
+from .operators.spell import prefix_suggest, spell_correct, vocab_df
 from .parity import (
     ENTRY_QUERIES,
     TOPK,
@@ -270,6 +270,72 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return spell_correct(inputs, vocab).orderBy("input")
+
+
+ANCHOR_FIELDS = {
+    "title": (2.0, 0.75),
+    "body": (1.0, 0.75),
+    "anchor": (1.5, 0.5),
+}
+
+
+def q_anchor_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web ranking with an aggregated anchor field: a deterministic
+    2-outlink graph (dst = (7*src+13) % n and (13*src+101) % n, anchor
+    text = the source's first 3 tokens) is rolled up per destination by
+    operators/anchor.aggregate_anchor_text, then scored as the third
+    BM25F field (weight 1.5, b 0.5) beside title/body."""
+    from .operators.anchor import aggregate_anchor_text
+    from .operators.fielded import bm25f_topk
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = tokenize_simple_expr(F.col("text"))
+    base = docs.select("doc_id", toks.alias("l"))
+    a_text = F.concat_ws(" ", F.slice("l", 1, 3))
+
+    def edge(mul: int, add: int, link_id: int):
+        return base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mul + add) % n).alias("dst"),
+            F.lit(link_id).alias("link_id"),
+            a_text.alias("anchor_text"),
+        )
+
+    anchor = aggregate_anchor_text(
+        edge(7, 13, 1).unionByName(edge(13, 101, 2))
+    ).select("doc_id", "anchor")
+    fdocs = (
+        docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+            F.concat_ws(
+                " ", F.slice(toks, 7, F.greatest(F.size(toks) - 6, F.lit(0)))
+            ).alias("body"),
+        )
+        .join(anchor, "doc_id", "left")
+        .withColumn("anchor", F.coalesce(F.col("anchor"), F.lit("")))
+    )
+    res = bm25f_topk(fdocs, _query_terms_df(spark), fields=ANCHOR_FIELDS, k=TOPK)
+    return res.select(
+        "qid",
+        "doc_id",
+        "rank",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (operators/spell.prefix_suggest): 3-char
+    prefixes derived from the vocabulary itself, top-3 completions each
+    by (df desc, term asc)."""
+    vocab = vocab_df(_doc_tf(spark, sf_dir))
+    prefixes = (
+        vocab.filter((F.col("df") >= 2) & (F.length("term") >= 3))
+        .select(F.substring("term", 1, 3).alias("prefix"))
+        .distinct()
+    )
+    return prefix_suggest(vocab, prefixes, n=3).orderBy("prefix", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -705,6 +771,116 @@ pick AS (
 SELECT input, suggestion, ed, sugg_df FROM pick WHERE rn = 1 ORDER BY input"""
 
 
+def _anchor_bm25f_sql() -> str:
+    """The three-field BM25F replay: derived 2-outlink graph, string_agg
+    anchor rollup in (src, link_id) order, then the same field pivot /
+    scoring text as _bm25f_sql with the anchor field added."""
+    return f"""
+WITH
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+stats0 AS (SELECT count(*)::BIGINT AS n FROM documents),
+links AS (
+  SELECT doc_id AS src, (doc_id * 7 + 13) % s.n AS dst, 1 AS link_id,
+         array_to_string(list_slice(l, 1, 3), ' ') AS anchor_text
+  FROM toks, stats0 s
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 101) % s.n, 2,
+         array_to_string(list_slice(l, 1, 3), ' ')
+  FROM toks, stats0 s
+),
+anchor AS (
+  SELECT dst AS doc_id,
+         string_agg(anchor_text, ' ' ORDER BY src, link_id) AS anchor
+  FROM links GROUP BY dst
+),
+fdoc AS (
+  SELECT t.doc_id,
+         array_to_string(list_slice(l, 1, 6), ' ') AS title,
+         array_to_string(list_slice(l, 7, len(l)), ' ') AS body,
+         coalesce(a.anchor, '') AS anchor
+  FROM toks t LEFT JOIN anchor a USING (doc_id)
+),
+ftok AS (
+  SELECT doc_id, 'title' AS field,
+         unnest(list_filter(string_split_regex(lower(title), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term FROM fdoc
+  UNION ALL
+  SELECT doc_id, 'body',
+         unnest(list_filter(string_split_regex(lower(body), '[^a-z0-9]+'),
+                            x -> x <> '')) FROM fdoc
+  UNION ALL
+  SELECT doc_id, 'anchor',
+         unnest(list_filter(string_split_regex(lower(anchor), '[^a-z0-9]+'),
+                            x -> x <> '')) FROM fdoc
+),
+fw(field, w, b) AS (VALUES ('title', 2.0, 0.75), ('body', 1.0, 0.75),
+                           ('anchor', 1.5, 0.5)),
+ftf AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf
+  FROM ftok GROUP BY doc_id, field, term
+),
+flen AS (
+  SELECT doc_id, field, sum(tf)::BIGINT AS flen FROM ftf GROUP BY doc_id, field
+),
+avgl AS (
+  SELECT field, sum(flen)::DOUBLE / (SELECT count(*) FROM documents) AS avglen
+  FROM flen GROUP BY field
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftf GROUP BY term),
+wtf AS (
+  SELECT ftf.doc_id, ftf.term,
+         sum(fw.w * (ftf.tf / (1 - fw.b + fw.b * flen.flen / avgl.avglen))) AS wtf
+  FROM ftf
+  JOIN flen USING (doc_id, field) JOIN avgl USING (field) JOIN fw USING (field)
+  GROUP BY ftf.doc_id, ftf.term
+),
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+scored AS (
+  SELECT qid, doc_id,
+         sum(ln(1.0 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * wtf / (1.2 + wtf)) AS score
+  FROM qd JOIN wtf USING (term) JOIN dfs USING (term), stats s
+  GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+         CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM scored
+)
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
+_AUTOCOMPLETE_SQL = f"""
+WITH {_SQL_TOK},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+prefixes AS (
+  SELECT DISTINCT substr(term, 1, 3) AS prefix
+  FROM vocab WHERE df >= 2 AND length(term) >= 3
+),
+cand AS (
+  SELECT p.prefix, v.term, v.df
+  FROM prefixes p JOIN vocab v ON starts_with(v.term, p.prefix)
+),
+pick AS (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY df DESC, term) AS rank
+  FROM cand
+)
+SELECT prefix, term, df, rank FROM pick WHERE rank <= 3
+ORDER BY prefix, rank"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
@@ -716,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": q_spell_correct,
         "bm25f_topk": q_bm25f_topk,
         "snippets": q_snippets,
+        "autocomplete": q_autocomplete,
+        "anchor_bm25f": q_anchor_bm25f,
     }
 
 
@@ -730,4 +908,6 @@ def oracle_sql() -> dict[str, str]:
         "spell_correct": _SPELL_SQL,
         "bm25f_topk": _bm25f_sql(),
         "snippets": _snippets_sql(),
+        "autocomplete": _AUTOCOMPLETE_SQL,
+        "anchor_bm25f": _anchor_bm25f_sql(),
     }

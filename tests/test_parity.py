@@ -72,7 +72,8 @@ def test_all_queries_have_oracles(entry_mod):
     "bm25_topk_indexed", "user_sessions", "fingerprint_pairs", "rp_lsh_ann",
     "sig_test", "boe_emb_bins",
     "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ivf_ann",
-    "sdm_rerank", "spell_correct", "bm25f_topk", "snippets",
+    "sdm_rerank", "spell_correct", "bm25f_topk", "snippets", "autocomplete",
+    "anchor_bm25f",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]

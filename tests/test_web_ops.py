@@ -406,3 +406,49 @@ def test_best_snippets_tie_prefers_earliest(spark):
     cand = spark.createDataFrame([(1, 1)], "qid long, doc_id long")
     r = best_snippets(docs, q, cand, window=2).collect()[0]
     assert (r["start_pos"], r["n_matches"], r["snippet"]) == (1, 1, "q a")
+
+
+def test_prefix_suggest_ranks_and_long_prefix_refilter(spark):
+    """Completions rank by (df desc, term asc); a prefix longer than the
+    key cap still matches exactly via the startswith refilter."""
+    from knowledgeir_spark.operators.spell import prefix_suggest
+
+    vocab = spark.createDataFrame(
+        [("span", 5), ("spark", 9), ("sparkle", 9), ("spoon", 2), ("query", 7)],
+        "term string, df long",
+    )
+    prefixes = spark.createDataFrame(
+        [("sp",), ("spark",), ("sparkles",), ("zz",)], "prefix string"
+    )
+    got = {}
+    for r in prefix_suggest(vocab, prefixes, n=2, max_key_len=3).collect():
+        got.setdefault(r["prefix"], []).append((r["rank"], r["term"]))
+    for v in got.values():
+        v.sort()
+    # 'sp': df desc -> spark(9), sparkle(9) tie term asc -> spark first
+    assert got["sp"] == [(1, "spark"), (2, "sparkle")]
+    # 'spark' (len 5 > cap 3): joined on 'spa' then refiltered exactly
+    assert got["spark"] == [(1, "spark"), (2, "sparkle")]
+    assert "sparkles" not in got  # no term completes it
+    assert "zz" not in got
+
+
+def test_aggregate_anchor_text_order_cap_and_degree(spark):
+    """Anchor rollup joins in-link texts in (src, link_id) order, caps the
+    rolled-up edges at max_inlinks, and reports the TRUE in-degree."""
+    from knowledgeir_spark.operators.anchor import aggregate_anchor_text
+
+    links = spark.createDataFrame(
+        [(3, 9, 1, "late src"), (1, 9, 2, "second link"), (1, 9, 1, "first link"),
+         (2, 7, 1, "solo")],
+        "src long, dst long, link_id int, anchor_text string",
+    )
+    got = {r["doc_id"]: r for r in aggregate_anchor_text(links).collect()}
+    assert got[9]["anchor"] == "first link second link late src"
+    assert got[9]["n_inlinks"] == 3
+    assert got[7]["anchor"] == "solo"
+    # cap keeps the first edges by (src, link_id) but degree stays true
+    capped = {r["doc_id"]: r
+              for r in aggregate_anchor_text(links, max_inlinks=2).collect()}
+    assert capped[9]["anchor"] == "first link second link"
+    assert capped[9]["n_inlinks"] == 3
