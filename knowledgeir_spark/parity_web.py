@@ -325,6 +325,65 @@ def q_anchor_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def _derived_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic line structure injected: 8-token
+    chunks, chunk i of doc d suffixed by (d+i)%4 -> '.' / '!' / '' (fails
+    the terminal-punctuation rule) / ' {' (hits a bad marker) — so the C4
+    rules have real work on the punctuation-free testdata."""
+    toks = tokenize_simple_expr(F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("l"))
+    suffixes = F.array(F.lit("."), F.lit("!"), F.lit(""), F.lit(" {"))
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size("l") / F.lit(8)).cast("int") - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(F.col("l"), i * 8 + 1, 8), " "),
+            F.element_at(suffixes, ((F.col("doc_id") + i) % 4 + 1).cast("int")),
+        ),
+    )
+    return docs.filter(F.size("l") > 0).select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filtering (operators/clean.py) over deterministically
+    line-structured documents; the oracle replays the rules on the same
+    derived lines and the clean_text strings compare byte-for-byte."""
+    from .operators.clean import c4_line_filter
+
+    return c4_line_filter(_derived_lines(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (functions/pii.py): synthetic email/phone/IPv4 strings
+    are injected deterministically per doc_id, masked in fixed order, and
+    the scrubbed strings compared byte-for-byte."""
+    from .functions.pii import scrub_pii
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 != 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@mail"), (d % 7).cast("string"),
+                         F.lit(".com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" call 555-12"), (d % 10).cast("string"),
+                         F.lit("-4567")),
+            ).otherwise(F.lit("")),
+            F.lit(" at 10.0."), (d % 256).cast("string"), F.lit(".1 end"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed"
+    ).orderBy("doc_id")
+
+
 def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix autocomplete (operators/spell.prefix_suggest): 3-char
     prefixes derived from the vocabulary itself, top-3 completions each
@@ -860,6 +919,91 @@ SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
 ORDER BY qid, rank"""
 
 
+_DERIVED_LINES_SQL = """
+dtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+dlines AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(l) / 8.0) AS INT)), i ->
+           array_to_string(list_slice(l, i * 8 + 1, i * 8 + 8), ' ') ||
+           (CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                 WHEN 2 THEN '' ELSE ' {' END)) AS ls
+  FROM dtoks WHERE len(l) > 0
+)"""
+
+_C4_CLEAN_SQL = (
+    "WITH "
+    + _DERIVED_LINES_SQL
+    + """,
+c4 AS (
+  SELECT doc_id, ls,
+         list_filter(ls, li ->
+           regexp_matches(trim(li), '[.!?"]$')
+           AND len(list_filter(string_split_regex(trim(li), '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(trim(li)), 'javascript')
+           AND NOT contains(lower(trim(li)), 'lorem ipsum')
+           AND NOT contains(lower(trim(li)), '{')) AS kl
+  FROM dlines
+)
+SELECT doc_id, array_to_string(kl, chr(10)) AS clean_text,
+       len(kl) AS n_kept, (len(ls) - len(kl)) AS n_dropped
+FROM c4 WHERE len(kl) >= 3 ORDER BY doc_id"""
+)
+
+
+def _pii_sql() -> str:
+    """Splices the EXACT pattern strings from functions.pii so both engines
+    run identical regex text in the identical mask order."""
+    from .functions.pii import PII_PATTERNS
+
+    (e_name, e_pat, e_mask), (p_name, p_pat, p_mask), (i_name, i_pat, i_mask) = (
+        PII_PATTERNS
+    )
+    return """
+WITH inj AS (
+  SELECT doc_id,
+    text ||
+    (CASE WHEN doc_id % 3 <> 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+               CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 0
+          THEN ' call 555-12' || CAST(doc_id % 10 AS VARCHAR) || '-4567'
+          ELSE '' END) ||
+    ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(t, '{e_pat}')) AS INT) AS n_{e_name},
+         regexp_replace(t, '{e_pat}', '{e_mask}', 'g') AS t1
+  FROM inj
+),
+s2 AS (
+  SELECT doc_id, n_{e_name},
+         CAST(len(regexp_extract_all(t1, '{p_pat}')) AS INT) AS n_{p_name},
+         regexp_replace(t1, '{p_pat}', '{p_mask}', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_{e_name}, n_{p_name},
+         CAST(len(regexp_extract_all(t2, '{i_pat}')) AS INT) AS n_{i_name},
+         regexp_replace(t2, '{i_pat}', '{i_mask}', 'g') AS scrubbed
+  FROM s2
+)
+SELECT doc_id, n_{e_name}, n_{p_name}, n_{i_name}, scrubbed FROM s3
+ORDER BY doc_id""".format(
+        # DuckDB regular string literals do not process backslash escapes,
+        # so the regex text goes in verbatim
+        e_name=e_name, e_pat=e_pat, e_mask=e_mask,
+        p_name=p_name, p_pat=p_pat, p_mask=p_mask,
+        i_name=i_name, i_pat=i_pat, i_mask=i_mask,
+    )
+
+
 _AUTOCOMPLETE_SQL = f"""
 WITH {_SQL_TOK},
 vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
@@ -894,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "autocomplete": q_autocomplete,
         "anchor_bm25f": q_anchor_bm25f,
+        "c4_clean": q_c4_clean,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -910,4 +1056,6 @@ def oracle_sql() -> dict[str, str]:
         "snippets": _snippets_sql(),
         "autocomplete": _AUTOCOMPLETE_SQL,
         "anchor_bm25f": _anchor_bm25f_sql(),
+        "c4_clean": _C4_CLEAN_SQL,
+        "pii_scrub": _pii_sql(),
     }

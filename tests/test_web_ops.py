@@ -452,3 +452,40 @@ def test_aggregate_anchor_text_order_cap_and_degree(spark):
               for r in aggregate_anchor_text(links, max_inlinks=2).collect()}
     assert capped[9]["anchor"] == "first link second link"
     assert capped[9]["n_inlinks"] == 3
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule individually: terminal punctuation, min words, bad
+    markers, and the min-lines doc gate."""
+    from knowledgeir_spark.operators.clean import c4_line_filter
+
+    good = "one two three four five six."
+    docs = spark.createDataFrame(
+        [(1, "\n".join([good, "short line.", "no terminal punct here at all",
+                        "uses javascript for menus everywhere.",
+                        "lorem ipsum dolor sit amet consectetur.",
+                        "code sample { return x; } end.",
+                        good + "!", 'quoted line with many words indeed"'])),
+         (2, "\n".join([good, good]))],  # only 2 good lines -> doc dropped
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert 2 not in out
+    r = out[1]
+    assert r["n_kept"] == 3 and r["n_dropped"] == 5
+    assert r["clean_text"].split("\n") == [good, good + "!",
+                                           'quoted line with many words indeed"']
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from knowledgeir_spark.functions.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@x-site.co.uk or bob@y.io call 555-123-4567 "
+             "ip 192.168.0.1 ver 1.2 no phone 55-12-34")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(docs).collect()[0]
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
+    assert r["scrubbed"] == ("mail <EMAIL> or <EMAIL> call <PHONE> "
+                             "ip <IP> ver 1.2 no phone 55-12-34")
