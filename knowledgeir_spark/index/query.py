@@ -1031,6 +1031,7 @@ class IndexReader:
         k: int = 20,
         model: str = "bm25",
         prune: bool = True,
+        stats_override: tuple[float, float, dict] | None = None,
     ) -> list[tuple[str, int, float, int]]:
         """Coordinator-local point-query path: the SAME pruned slice a Spark
         job would scan (bucket dirs + term row groups) is read directly with
@@ -1043,12 +1044,17 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         q_terms, all_terms = _query_term_dicts(queries)
-        dfs = self.term_stats_for(sorted(all_terms))
+        if stats_override is not None:
+            # sharded serving: score THIS shard's postings with the global
+            # corpus statistics so per-shard top-k merge exactly
+            n, avgdl, dfs = stats_override
+        else:
+            dfs = self.term_stats_for(sorted(all_terms))
+            n = float(self.field_stats["n_docs"])
+            avgdl = float(self.field_stats["avg_doc_len"])
         for terms in q_terms.values():
             for t in terms:
                 t["df"] = dfs.get(t["term"], 0.0)
-        n = float(self.field_stats["n_docs"])
-        avgdl = float(self.field_stats["avg_doc_len"])
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in all_terms})
         filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(
             sorted(all_terms)
@@ -1089,4 +1095,68 @@ class IndexReader:
                 res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)
             for rank, row in enumerate(res.itertuples(), start=1):
                 out.append((qid, int(row.doc_id), float(row.score), rank))
+        return out
+
+
+class ShardedReader:
+    """Scatter-gather serving over MULTIPLE index shards, rank-identical
+    to one monolithic index over the union of the shards' documents
+    (asserted in tests/test_index.py).
+
+    This is how a 10^12-doc deployment actually serves: the corpus is
+    built as S independent shards (by crawl segment / time bucket), each
+    a complete build_index layout with its own lineage, and a query node
+    fans out to all shards and merges.  Correctness hinges on GLOBAL
+    statistics: BM25's idf and length normalization use the union's
+    (n_docs, avgdl, df), so each shard is scored with the global numbers
+    (``stats_override``) — a document's score then depends only on its
+    own postings plus global stats, which makes the merged per-shard
+    top-k exactly the monolithic top-k.  Global df per term is the sum of
+    the shards' dfs (doc_ids are globally unique by the deterministic id
+    assignment); n/avgdl come from the exact integer ``total_len`` each
+    field_stats records.  The merge uses the engine-wide quantized key
+    (floor(score*1e9) desc, doc_id asc).
+    """
+
+    def __init__(self, spark: SparkSession, index_dirs: list[str]):
+        if not index_dirs:
+            raise ValueError("at least one shard required")
+        self.readers = [IndexReader(spark, d) for d in index_dirs]
+        self.n_docs = float(sum(int(r.field_stats["n_docs"]) for r in self.readers))
+        total_len = sum(int(r.field_stats["total_len"]) for r in self.readers)
+        self.avg_doc_len = total_len / self.n_docs
+
+    def global_stats_for(self, terms: list[str]) -> dict[str, float]:
+        dfs: dict[str, float] = {}
+        for r in self.readers:
+            for t, df in r.term_stats_for(terms).items():
+                dfs[t] = dfs.get(t, 0.0) + df
+        return dfs
+
+    def search_local(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 20,
+        model: str = "bm25",
+        prune: bool = True,
+    ) -> list[tuple[str, int, float, int]]:
+        import math as _m
+
+        _, all_terms = _query_term_dicts(queries)
+        dfs = self.global_stats_for(sorted(all_terms))
+        override = (self.n_docs, self.avg_doc_len, dfs)
+        per_q: dict[str, list[tuple[int, float]]] = {}
+        for r in self.readers:
+            for qid, doc_id, score, _rank in r.search_local(
+                queries, k=k, model=model, prune=prune,
+                stats_override=override,
+            ):
+                per_q.setdefault(qid, []).append((doc_id, score))
+        out: list[tuple[str, int, float, int]] = []
+        for qid, _qtext in queries:
+            qid = str(qid)
+            cands = per_q.get(qid, [])
+            cands.sort(key=lambda ds: (-_m.floor(ds[1] * 1e9), ds[0]))
+            for rank, (doc_id, score) in enumerate(cands[:k], start=1):
+                out.append((qid, doc_id, score, rank))
         return out

@@ -517,3 +517,39 @@ def test_reader_suggest_matches_spark_operator(spark, built):
     got2 = rd2.suggest(inputs)
     assert rd2._df_cache is None
     assert got2 == want
+
+
+def test_sharded_reader_rank_identical_to_monolith(spark, built, tmp_path_factory):
+    """Two shards (doc_id split) searched via ShardedReader with global
+    stats must return EXACTLY the monolithic index's top-k — ids, scores,
+    ranks — for every query in the suite."""
+    from knowledgeir_spark.index.query import ShardedReader
+
+    base = tmp_path_factory.mktemp("shards")
+    docs = built["docs"]
+    cut = 150
+    dirs = []
+    for i, part in enumerate(
+        [docs.filter(f"doc_id < {cut}"), docs.filter(f"doc_id >= {cut}")]
+    ):
+        d = str(base / f"shard{i}")
+        build_index(spark, part, d, CFG, input_token=f"shard{i}")
+        dirs.append(d)
+
+    mono = IndexReader(spark, built["idx_dir"])
+    sharded = ShardedReader(spark, dirs)
+    assert sharded.n_docs == float(mono.field_stats["n_docs"])
+    assert abs(sharded.avg_doc_len - float(mono.field_stats["avg_doc_len"])) < 1e-9
+
+    queries = [("1", "spark data"), ("2", "the with for"), ("3", "zzznope"),
+               ("4", "a of and to in")]
+    for prune in (True, False):
+        want = mono.search_local(queries, k=10, prune=prune)
+        got = sharded.search_local(queries, k=10, prune=prune)
+        # identical ranking (ids + ranks); scores equal to 1e-9 (the two
+        # sides may route different scorer kernels per shard)
+        assert [(q, d, r) for q, d, _s, r in got] == [
+            (q, d, r) for q, d, _s, r in want
+        ]
+        for (_, _, sg, _), (_, _, sw, _) in zip(got, want):
+            assert abs(sg - sw) < 1e-9
