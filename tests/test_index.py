@@ -553,3 +553,34 @@ def test_sharded_reader_rank_identical_to_monolith(spark, built, tmp_path_factor
         ]
         for (_, _, sg, _), (_, _, sw, _) in zip(got, want):
             assert abs(sg - sw) < 1e-9
+
+
+def test_docstore_snippets_match_operator(spark, built):
+    """Serving-side snippet rendering from the bucket-pruned docstore must
+    equal the distributed best_snippets operator row-for-row (same spec,
+    two implementations)."""
+    import re
+
+    from knowledgeir_spark.index.docstore import DocStore, write_docstore
+    from knowledgeir_spark.operators.snippet import best_snippets
+
+    d = built["idx_dir"]
+    write_docstore(built["docs"], d, n_buckets=8)
+    rd = IndexReader(spark, d)
+    queries = [("1", "spark data table"), ("2", "the with for"), ("3", "zzznope")]
+    res = rd.search_local(queries, k=5)
+    got = sorted(DocStore(d, n_buckets=8).snippets(queries, res))
+
+    spark_rows = [(int(q), int(doc)) for q, doc, _s, _r in res]
+    cand = spark.createDataFrame(spark_rows, "qid long, doc_id long")
+    qt = spark.createDataFrame(
+        [(int(q), t) for q, qtext in queries
+         for t in re.findall(r"[a-z0-9]+", qtext.lower())],
+        "qid long, term string",
+    )
+    want = sorted(
+        (str(r["qid"]), r["doc_id"], r["start_pos"], r["n_matches"], r["snippet"])
+        for r in best_snippets(built["docs"], qt, cand).collect()
+    )
+    assert got == want
+    assert len(got) > 0
