@@ -49,6 +49,10 @@ def write_docstore(
         .partitionBy("bucket")
         .parquet(path)
     )
+    import json
+
+    with open(os.path.join(path, "_docstore.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
     return path
 
 
@@ -74,8 +78,15 @@ def best_window(tokens: list[str], terms: set[str], window: int):
 class DocStore:
     """Pruned reader over the docstore partition layout."""
 
-    def __init__(self, index_dir: str, n_buckets: int = 64):
+    def __init__(self, index_dir: str, n_buckets: int | None = None):
         self.path = os.path.join(index_dir, "docstore")
+        if n_buckets is None:
+            # the store is self-describing: pruning with a mismatched
+            # bucket count would silently read the wrong partitions
+            import json
+
+            with open(os.path.join(self.path, "_docstore.json")) as f:
+                n_buckets = int(json.load(f)["n_buckets"])
         self.n_buckets = n_buckets
         self._ds = None
 

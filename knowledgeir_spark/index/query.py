@@ -708,6 +708,42 @@ def _delete1_py(t: str) -> list[str]:
     return [t] + [t[:i] + t[i + 1:] for i in range(len(t))]
 
 
+def _build_spell_index(df_dict: dict[str, float]) -> dict[str, list[str]]:
+    idx: dict[str, list[str]] = {}
+    for t in df_dict:
+        for dk in _delete1_py(t):
+            idx.setdefault(dk, []).append(t)
+    return idx
+
+
+def _suggest_from_dict(
+    terms: list[str],
+    df_dict: dict[str, float],
+    spell_index: dict[str, list[str]],
+    min_len: int,
+) -> dict[str, tuple[str, int, float]]:
+    """Shared suggest core: the exact operators/spell.spell_correct spec
+    over a driver-side (term -> df) dict."""
+    out: dict[str, tuple[str, int, float]] = {}
+    for t in dict.fromkeys(terms):
+        if len(t) < min_len:
+            continue
+        cands: set[str] = set()
+        for dk in _delete1_py(t):
+            cands.update(spell_index.get(dk, ()))
+        best = None
+        for c in cands:
+            ed = _lev_le1(t, c)
+            if ed is None:
+                continue
+            key = (ed, -df_dict[c], c)
+            if best is None or key < best[0]:
+                best = (key, c, ed)
+        if best is not None:
+            out[t] = (best[1], best[2], df_dict[best[1]])
+    return out
+
+
 def _lev_le1(a: str, b: str) -> int | None:
     """0 if equal, 1 if levenshtein(a, b) == 1, else None (cheap exact
     check — candidates come pre-screened by delete-key intersection)."""
@@ -1001,29 +1037,10 @@ class IndexReader:
                 for r in rows
             }
         if self._spell_index is None:
-            idx: dict[str, list[str]] = {}
-            for t in self._df_cache:
-                for dk in _delete1_py(t):
-                    idx.setdefault(dk, []).append(t)
-            self._spell_index = idx
-        out: dict[str, tuple[str, int, float]] = {}
-        for t in dict.fromkeys(terms):
-            if len(t) < min_len:
-                continue
-            cands: set[str] = set()
-            for dk in _delete1_py(t):
-                cands.update(self._spell_index.get(dk, ()))
-            best = None
-            for c in cands:
-                ed = _lev_le1(t, c)
-                if ed is None:
-                    continue
-                key = (ed, -self._df_cache[c], c)
-                if best is None or key < best[0]:
-                    best = (key, c, ed)
-            if best is not None:
-                out[t] = (best[1], best[2], self._df_cache[best[1]])
-        return out
+            self._spell_index = _build_spell_index(self._df_cache)
+        return _suggest_from_dict(
+            terms, self._df_cache, self._spell_index, min_len
+        )
 
     def search_local(
         self,
@@ -1125,6 +1142,8 @@ class ShardedReader:
         self.n_docs = float(sum(int(r.field_stats["n_docs"]) for r in self.readers))
         total_len = sum(int(r.field_stats["total_len"]) for r in self.readers)
         self.avg_doc_len = total_len / self.n_docs
+        self._global_df: dict[str, float] | None = None
+        self._global_spell_index: dict[str, list[str]] | None = None
 
     def global_stats_for(self, terms: list[str]) -> dict[str, float]:
         dfs: dict[str, float] = {}
@@ -1132,6 +1151,30 @@ class ShardedReader:
             for t, df in r.term_stats_for(terms).items():
                 dfs[t] = dfs.get(t, 0.0) + df
         return dfs
+
+    def suggest(
+        self, terms: list[str], min_len: int = 3
+    ) -> dict[str, tuple[str, int, float]]:
+        """Spell suggestions over the UNION vocabulary with global df
+        (a term's prior sums across shards) — same spec as
+        IndexReader.suggest.  Requires every shard's vocabulary to fit its
+        driver-side cache (the serving case); oversized shards raise."""
+        if self._global_df is None:
+            merged: dict[str, float] = {}
+            for r in self.readers:
+                r.term_stats_for([])
+                if r._df_cache is None:
+                    raise ValueError(
+                        "shard vocabulary exceeds the driver cache; use the "
+                        "distributed operators/spell path instead"
+                    )
+                for t, df in r._df_cache.items():
+                    merged[t] = merged.get(t, 0.0) + df
+            self._global_df = merged
+            self._global_spell_index = _build_spell_index(merged)
+        return _suggest_from_dict(
+            terms, self._global_df, self._global_spell_index, min_len
+        )
 
     def search_local(
         self,

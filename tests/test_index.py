@@ -584,3 +584,31 @@ def test_docstore_snippets_match_operator(spark, built):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_sharded_suggest_sums_global_df(spark, built, tmp_path_factory):
+    """ShardedReader.suggest ranks by the UNION df: a term split across
+    shards must carry the summed prior."""
+    from knowledgeir_spark.index.query import ShardedReader
+
+    base = tmp_path_factory.mktemp("sshards")
+    docs = built["docs"]
+    dirs = []
+    for i, part in enumerate(
+        [docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")]
+    ):
+        d = str(base / f"s{i}")
+        build_index(spark, part, d, CFG, input_token=f"sg{i}")
+        dirs.append(d)
+    sh = ShardedReader(spark, dirs)
+    mono = IndexReader(spark, built["idx_dir"])
+    # pick a real vocab term, misspell it, and require the same correction
+    # with the same (global) df the monolith reports
+    stats = spark.read.parquet(f"{built['idx_dir']}/term_stats").orderBy(
+        "df", ascending=False).limit(1).collect()[0]
+    term, df = stats["term"], float(stats["df"])
+    typo = term[:2] + term[3:] if len(term) >= 5 else term + "x"
+    got = sh.suggest([typo, term])
+    want = mono.suggest([typo, term])
+    assert got == want
+    assert got[term] == (term, 0, df)
