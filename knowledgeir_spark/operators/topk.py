@@ -57,3 +57,37 @@ def to_trec(ranked: DataFrame, run_name: str = "knowledgeir_spark") -> DataFrame
         F.col("score"),
         F.lit(run_name).alias("run"),
     )
+
+
+def collapse_per_key(
+    scored: DataFrame,
+    key_col: str,
+    m: int = 2,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Result diversification ("site collapse"): keep at most ``m`` results
+    per (query, ``key_col``) — host, domain, cluster id — then re-rank the
+    survivors to the top ``k``.
+
+    Both windows use the engine ranking key (floor(score*1e9) desc, doc_id
+    asc), so which m results survive per key and the final order are both
+    deterministic and SQL-replayable.  Same WindowGroupLimit shape as
+    topk_per_query: the (qid, key) partial limit runs before the exchange,
+    so the shuffle carries at most m rows per key per input partition.
+    """
+    qkey = F.floor(F.col(score_col) * RANK_QUANTUM)
+    w_key = Window.partitionBy(qid_col, key_col).orderBy(
+        qkey.desc(), F.col(doc_col).asc()
+    )
+    w_q = Window.partitionBy(qid_col).orderBy(qkey.desc(), F.col(doc_col).asc())
+    return (
+        scored.withColumn("_kr", F.row_number().over(w_key))
+        .filter(F.col("_kr") <= m)
+        .drop("_kr")
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .orderBy(F.col(qid_col).cast("long"), "rank")
+    )

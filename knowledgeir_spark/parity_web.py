@@ -384,6 +384,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_host_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-collapsed serving (operators/topk.collapse_per_key): BM25
+    scores joined to each doc's derived host, at most 2 results per
+    (query, host), reranked to top-10."""
+    from .functions.url import host_of
+    from .operators.topk import collapse_per_key
+
+    matched, n, avgdl = _scored_matched(spark, sf_dir)
+    scored = matched.groupBy("qid", "doc_id").agg(
+        bm25_finalize(
+            ordered_sum(
+                F.col("term_idx"),
+                bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
+            )
+        ).alias("score")
+    )
+    hosts = _with_urls(_docs(spark, sf_dir)).select(
+        "doc_id", host_of(F.col("url")).alias("host")
+    )
+    res = collapse_per_key(scored.join(hosts, "doc_id"), "host", m=2, k=10)
+    return res.select(
+        "qid",
+        "doc_id",
+        "host",
+        "rank",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
 def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix autocomplete (operators/spell.prefix_suggest): 3-char
     prefixes derived from the vocabulary itself, top-3 completions each
@@ -830,6 +859,56 @@ pick AS (
 SELECT input, suggestion, ed, sugg_df FROM pick WHERE rn = 1 ORDER BY input"""
 
 
+def _host_collapse_sql() -> str:
+    """bm25 scoring text verbatim + the derived-URL host CTEs + the two
+    deterministic windows of collapse_per_key."""
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+{_SQL_URLS},
+sh AS (
+  SELECT s.qid, s.doc_id, s.score, c.host
+  FROM scored s JOIN canon c USING (doc_id)
+),
+keyed AS (
+  SELECT qid, doc_id, host, score,
+         row_number() OVER (PARTITION BY qid, host
+                            ORDER BY floor(score * 1e9) DESC, doc_id) AS kr
+  FROM sh
+),
+final AS (
+  SELECT qid, doc_id, host, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+  FROM keyed WHERE kr <= 2
+)
+SELECT qid, doc_id, host, rank,
+       CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+FROM final WHERE rank <= 10
+ORDER BY qid, rank"""
+
+
 def _anchor_bm25f_sql() -> str:
     """The three-field BM25F replay: derived 2-outlink graph, string_agg
     anchor rollup in (src, link_id) order, then the same field pivot /
@@ -1040,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_bm25f": q_anchor_bm25f,
         "c4_clean": q_c4_clean,
         "pii_scrub": q_pii_scrub,
+        "host_collapse": q_host_collapse,
     }
 
 
@@ -1058,4 +1138,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_bm25f": _anchor_bm25f_sql(),
         "c4_clean": _C4_CLEAN_SQL,
         "pii_scrub": _pii_sql(),
+        "host_collapse": _host_collapse_sql(),
     }

@@ -73,7 +73,7 @@ def test_all_queries_have_oracles(entry_mod):
     "sig_test", "boe_emb_bins",
     "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ivf_ann",
     "sdm_rerank", "spell_correct", "bm25f_topk", "snippets", "autocomplete",
-    "anchor_bm25f", "c4_clean", "pii_scrub",
+    "anchor_bm25f", "c4_clean", "pii_scrub", "host_collapse",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]

@@ -489,3 +489,18 @@ def test_scrub_pii_masks_and_counts(spark):
     assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
     assert r["scrubbed"] == ("mail <EMAIL> or <EMAIL> call <PHONE> "
                              "ip <IP> ver 1.2 no phone 55-12-34")
+
+
+def test_collapse_per_key_diversifies(spark):
+    """At most m results per (qid, key); survivors rerank densely; the
+    dropped third same-host result makes room for a lower-scored host."""
+    from knowledgeir_spark.operators.topk import collapse_per_key
+
+    scored = spark.createDataFrame(
+        [(1, 10, 9.0, "a.com"), (1, 11, 8.0, "a.com"), (1, 12, 7.0, "a.com"),
+         (1, 20, 1.0, "b.org")],
+        "qid long, doc_id long, score double, host string",
+    )
+    out = collapse_per_key(scored, "host", m=2, k=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in out] == [
+        (10, 1), (11, 2), (20, 3)]
