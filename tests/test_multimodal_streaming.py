@@ -291,3 +291,38 @@ def test_audio_features_stub_boundary(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|stubbed"):
         audio_features(bad).collect()
+
+
+def test_streaming_clean_scrub_matches_batch(spark, tmp_path):
+    """The C4 line filter and PII scrub are stateless column programs, so
+    they run unchanged on a stream; streaming output must equal batch."""
+    from knowledgeir_spark.functions.pii import scrub_pii
+    from knowledgeir_spark.operators.clean import c4_line_filter
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "good line with words here one.\nbad {\n"
+            "another fine long line here two.\nthird good line is long too."),
+        (2, "mail me at a.b@c.io right now.\nonly one good line here though."),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    def pipeline(df):
+        cleaned = c4_line_filter(df, min_lines=1)
+        return scrub_pii(cleaned, text_col="clean_text").select(
+            "doc_id", "n_kept", "n_email", "scrubbed"
+        )
+
+    batch = {r["doc_id"]: (r["n_kept"], r["n_email"], r["scrubbed"])
+             for r in pipeline(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        pipeline(stream).writeStream.outputMode("append")
+        .format("memory").queryName("cleanscrub").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: (r["n_kept"], r["n_email"], r["scrubbed"])
+           for r in spark.sql("select * from cleanscrub").collect()}
+    assert got == batch
+    assert got[2][1] == 1 and "<EMAIL>" in got[2][2]
