@@ -1008,6 +1008,22 @@ class IndexReader:
         return {"terms_warmed": warmed, "postings_cached": cached,
                 "sec": round(time.time() - t0, 3)}
 
+    def last_query_stats(self) -> dict:
+        """Serving introspection after a search_local call: the last dense
+        scorer's skip statistics (blocks decoded vs total, MaxScore
+        essential-term count, cache_hit) plus the decode cache's hit/miss
+        counters and fill level.  For operators watching whether pruning
+        and caching actually engage on their workload — the same numbers
+        the bench and the skip-rate tests read."""
+        return {
+            **dict(_LAST_DENSE_STATS),
+            "cache_hits": self.decode_cache.hits,
+            "cache_misses": self.decode_cache.misses,
+            "cache_postings": self.decode_cache._total,
+            "cache_budget": self.decode_cache.max_postings,
+            "cache_terms": len(self.decode_cache._d),
+        }
+
     def suggest(
         self, terms: list[str], min_len: int = 3
     ) -> dict[str, tuple[str, int, float]]:

@@ -612,3 +612,13 @@ def test_sharded_suggest_sums_global_df(spark, built, tmp_path_factory):
     want = mono.suggest([typo, term])
     assert got == want
     assert got[term] == (term, 0, df)
+
+
+def test_last_query_stats_surface(spark, built, queries_pdf):
+    rd = IndexReader(spark, built["idx_dir"])
+    queries = [(r.qid, r.query) for r in queries_pdf.itertuples()][:3]
+    rd.search_local(queries, k=5)
+    st = rd.last_query_stats()
+    assert st["cache_budget"] > 0
+    assert st["cache_hits"] + st["cache_misses"] >= 0
+    assert {"cache_postings", "cache_terms"} <= set(st)
