@@ -339,6 +339,7 @@ def build_index(
                 "salt_range": config.salt_range,
                 "codec": config.codec,
                 "block_order": config.block_order,
+                "tokenizer": config.tokenizer,
             },
         )
     return results

@@ -683,6 +683,140 @@ def _dense_topk(
     return pd.DataFrame({"qid": qid, "doc_id": cand[order], "score": sc[order]})
 
 
+_LAST_BOOL_STATS: dict = {}
+
+
+def _score_group_bool(
+    pdf: pd.DataFrame,
+    q_terms: dict[str, list[dict]],
+    n: float,
+    avgdl: float,
+    model: str,
+    k: int,
+    codec: str,
+    excl_terms: dict[str, set[str]] | None = None,
+    cache: "DecodedTermCache | None" = None,
+    return_all: bool = False,
+) -> pd.DataFrame:
+    """Conjunctive (AND / AND-NOT) retrieval over one (qid[, salt]) group:
+    only docs containing EVERY query term and NONE of the excluded terms
+    are scored (same model kernels and quantized rank key as the OR path,
+    so AND of a single term is rank-identical to OR).
+
+    Block-skip intersection: terms are processed df-ascending — the rarest
+    term is decoded in full and every later term decodes ONLY the blocks
+    whose [first_doc_id, max_doc_id] range still contains a surviving
+    candidate (binary search on the sorted candidate ids).  On a Zipf web
+    corpus the rare term bounds the candidate set at once, so the head
+    terms' (huge) posting lists are mostly skipped — the classic
+    smallest-list-first conjunctive plan, done at block granularity with
+    the metadata the index already carries.  Works under both block
+    layouts (ids are re-sorted after decode, so impact-ordered blocks are
+    fine).  Skip counters land in _LAST_BOOL_STATS.
+
+    return_all=True yields every matching doc (no top-k cut) — the phrase
+    path filters by adjacency before cutting."""
+    qid = pdf["qid"].iat[0]
+    excl = (excl_terms or {}).get(qid, set())
+    terms = [t for t in q_terms[qid] if t["term"] not in excl]
+    if not terms:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+    blocks_total = int(sum(len(g) for g in groups.values()))
+    blocks_decoded = 0
+
+    # a required term with no postings -> AND can match nothing
+    if any(t["term"] not in groups for t in terms):
+        _LAST_BOOL_STATS.clear()
+        _LAST_BOOL_STATS.update(
+            {"bool_blocks_total": blocks_total, "bool_blocks_decoded": 0,
+             "bool_candidates": 0}
+        )
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+
+    def decode_rows(g: pd.DataFrame):
+        ids, tfs, dls = decode_blocks_concat(
+            [bytes(x) for x in g["doc_id_deltas"]],
+            [bytes(x) for x in g["tfs"]],
+            [bytes(x) for x in g["doc_lens"]],
+            g["n_docs"].tolist(),
+            codec=codec,
+        )
+        ids = ids.astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order].astype(np.float64), dls[order].astype(
+            np.float64
+        )
+
+    def decode_term(term: str, g: pd.DataFrame, cand: np.ndarray | None):
+        """Full decode via cache when available, else block-pruned decode."""
+        nonlocal blocks_decoded
+        hit = cache.get(term) if cache is not None else None
+        if hit is not None:
+            ids, tfs, dls = hit
+            ids = ids.astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            return ids[order], tfs[order].astype(np.float64), dls[
+                order
+            ].astype(np.float64)
+        if cand is not None:
+            first = g["first_doc_id"].to_numpy(np.int64)
+            last = g["max_doc_id"].to_numpy(np.int64)
+            lo = np.searchsorted(cand, first, side="left")
+            hi = np.searchsorted(cand, last, side="right")
+            g = g[lo < hi]
+        blocks_decoded += len(g)
+        if not len(g):
+            return (np.empty(0, np.int64), np.empty(0), np.empty(0))
+        return decode_rows(g)
+
+    ordered = sorted(terms, key=lambda t: (float(t["df"]), t["term"]))
+    decoded: dict[str, tuple] = {}
+    cand: np.ndarray | None = None
+    for t in ordered:
+        term = t["term"]
+        ids, tfs, dls = decode_term(term, groups[term], cand)
+        decoded[term] = (ids, tfs, dls)
+        cand = ids if cand is None else cand[
+            np.isin(cand, ids, assume_unique=True)
+        ]
+        if not len(cand):
+            break
+    if cand is not None and len(cand):
+        for xt in sorted(excl):
+            g = groups.get(xt)
+            if g is None:
+                continue
+            x_ids, _, _ = decode_term(xt, g, cand)
+            cand = cand[~np.isin(cand, x_ids, assume_unique=True)]
+            if not len(cand):
+                break
+    _LAST_BOOL_STATS.clear()
+    _LAST_BOOL_STATS.update(
+        {"bool_blocks_total": blocks_total,
+         "bool_blocks_decoded": blocks_decoded,
+         "bool_candidates": int(len(cand) if cand is not None else 0)}
+    )
+    if cand is None or not len(cand):
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+
+    tf_by_term: dict[str, np.ndarray] = {}
+    dl = None
+    for term, (ids, tfs, dls) in decoded.items():
+        pos = np.searchsorted(ids, cand)
+        tf_by_term[term] = tfs[pos]
+        if dl is None:
+            dl = dls[pos]
+    scores = S.score_terms(model, terms, tf_by_term, dl, n, avgdl)
+    qkeys = np.floor(scores * _RANK_Q).astype(np.int64)
+    order = np.lexsort((cand, -qkeys))
+    if not return_all:
+        order = order[:k]
+    return pd.DataFrame(
+        {"qid": qid, "doc_id": cand[order], "score": scores[order]}
+    )
+
+
 def _query_term_dicts(queries: list[tuple[str, str]]):
     """[(qid, text)] -> ({qid: [term dicts]}, all_terms set) — shared by the
     distributed and serving paths."""
@@ -787,6 +921,9 @@ class IndexReader:
         # invalidates the decode-level WAND's disjointness assumption — the
         # reader gates that path on the recorded layout
         self.block_order = self.field_stats.get("block_order", "docid")
+        # the doc tokenizer the index was built with (phrase verification
+        # must tokenize identically); older indexes predate the key
+        self.tokenizer = self.field_stats.get("tokenizer", "spec")
         # build the scan DataFrames once (schema discovery is not free)
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
@@ -836,6 +973,8 @@ class IndexReader:
         model: str = "bm25",
         prune: bool = True,
         merge: str = "spark",
+        mode: str = "or",
+        exclude: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """queries: [(qid, query_text)] or DataFrame(qid string, query string).
         Returns (qid, doc_id, score, rank) — TREC-shaped, rank-identical to
@@ -847,11 +986,24 @@ class IndexReader:
         top-k (<= k rows) is collected and merged on the driver with the same
         quantized ranking key; one Spark job instead of three stages, the
         standard low-latency coordinator shape.  Identical results (tested).
+
+        mode="and" / exclude: conjunctive (AND-NOT) retrieval.  Correct
+        under the salted layout because the salt is a CONTIGUOUS DOC
+        RANGE shared by every term — each (qid, salt) group sees all
+        postings of its doc range, so per-group intersection composes to
+        the global one with no extra shuffle.
         """
         if isinstance(queries, DataFrame):
             queries = [(r["qid"], r["query"]) for r in queries.collect()]
+        excl_map = {str(q): set(ts) for q, ts in (exclude or {}).items()}
+        if excl_map and mode != "and":
+            raise ValueError("exclude requires mode='and'")
         # driver-side query-term table (queries are small by definition)
         q_terms, all_terms = _query_term_dicts(queries)
+        if excl_map:
+            all_terms = set(all_terms)
+            for ts in excl_map.values():
+                all_terms.update(ts)
         dfs = self.term_stats_for(sorted(all_terms))
         for terms in q_terms.values():
             for t in terms:
@@ -862,6 +1014,12 @@ class IndexReader:
 
         qt_rows = [
             (qid, t["term"]) for qid, terms in q_terms.items() for t in terms
+        ]
+        qt_rows += [
+            (qid, xt)
+            for qid, xts in excl_map.items()
+            for xt in sorted(xts)
+            if xt not in {t["term"] for t in q_terms.get(qid, [])}
         ]
         if not qt_rows:
             return self.spark.createDataFrame(
@@ -874,6 +1032,11 @@ class IndexReader:
         codec = self.codec
 
         def apply_fn(pdf):
+            if mode == "and":
+                return _score_group_bool(
+                    pdf, q_terms, n, avgdl, model, k, codec,
+                    excl_terms=excl_map,
+                )
             return _score_group(pdf, q_terms, n, avgdl, model, k, prune, codec)
 
         local = joined.groupBy("qid", "salt").applyInPandas(
@@ -1017,6 +1180,7 @@ class IndexReader:
         the bench and the skip-rate tests read."""
         return {
             **dict(_LAST_DENSE_STATS),
+            **dict(_LAST_BOOL_STATS),
             "cache_hits": self.decode_cache.hits,
             "cache_misses": self.decode_cache.misses,
             "cache_postings": self.decode_cache._total,
@@ -1065,6 +1229,9 @@ class IndexReader:
         model: str = "bm25",
         prune: bool = True,
         stats_override: tuple[float, float, dict] | None = None,
+        mode: str = "or",
+        exclude: dict[str, list[str]] | None = None,
+        _all_matches: bool = False,
     ) -> list[tuple[str, int, float, int]]:
         """Coordinator-local point-query path: the SAME pruned slice a Spark
         job would scan (bucket dirs + term row groups) is read directly with
@@ -1073,10 +1240,22 @@ class IndexReader:
         dedicated query node performs; correct whenever the pruned slice of
         |q| terms fits driver memory (it is the index slice, ~bytes/doc —
         at larger fan-in fall back to search()).  Returns
-        [(qid, doc_id, score, rank)] rank-identical to search()/oracle."""
+        [(qid, doc_id, score, rank)] rank-identical to search()/oracle.
+
+        mode="and": conjunctive retrieval — only docs containing EVERY
+        query term (block-skip intersection, _score_group_bool).
+        exclude={qid: [terms]} drops docs containing any excluded term
+        (AND-NOT; requires mode="and")."""
         import pyarrow.dataset as ds
 
+        excl_map = {str(q): set(ts) for q, ts in (exclude or {}).items()}
+        if excl_map and mode != "and":
+            raise ValueError("exclude requires mode='and'")
         q_terms, all_terms = _query_term_dicts(queries)
+        if excl_map:
+            all_terms = set(all_terms)
+            for ts in excl_map.values():
+                all_terms.update(ts)
         if stats_override is not None:
             # sharded serving: score THIS shard's postings with the global
             # corpus statistics so per-shard top-k merge exactly
@@ -1103,11 +1282,20 @@ class IndexReader:
         out: list[tuple[str, int, float, int]] = []
         for qid, _qtext in queries:
             qid = str(qid)
-            terms = {t["term"] for t in q_terms[qid]}
+            terms = {t["term"] for t in q_terms[qid]} | excl_map.get(qid, set())
             sub = pdf[pdf["term"].isin(terms)]
             if not len(sub):
                 continue
             sub = sub.assign(qid=qid)
+            if mode == "and":
+                res = _score_group_bool(
+                    sub, q_terms, n, avgdl, model, k, self.codec,
+                    excl_terms=excl_map, cache=self.decode_cache,
+                    return_all=_all_matches,
+                )
+                for rank, row in enumerate(res.itertuples(), start=1):
+                    out.append((qid, int(row.doc_id), float(row.score), rank))
+                continue
             # one group == all doc ranges -> the local top-k IS the global
             # one.  bm25 routing: dense-accumulator scorer when the doc-id
             # space fits a flat array (the head-term lever); decode-level
@@ -1128,6 +1316,68 @@ class IndexReader:
                 res = _score_group(sub, q_terms, n, avgdl, model, k, prune, self.codec)
             for rank, row in enumerate(res.itertuples(), start=1):
                 out.append((qid, int(row.doc_id), float(row.score), rank))
+        return out
+
+    def search_phrase(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 20,
+        model: str = "bm25",
+        tokenizer: str | None = None,
+    ) -> list[tuple[str, int, float, int]]:
+        """Exact-phrase top-k: the standard two-phase web-serving shape.
+
+        Phase 1 (inverted index): conjunctive candidates for the phrase's
+        distinct terms via the block-skip intersection — at web scale the
+        rarest phrase term bounds the candidate set, so this reads a tiny
+        slice of the index.  Phase 2 (forward index): each candidate's
+        token stream is fetched from the docstore (bucket-pruned reads)
+        and the phrase is verified as a CONSECUTIVE token run; survivors
+        keep their phase-1 scores and are cut to top-k under the engine
+        rank key (quantized score desc, doc_id asc).
+
+        The phrase is tokenized with the INDEX's doc tokenizer (recorded
+        in field_stats; override with `tokenizer=`), so adjacency means
+        "adjacent in the indexed token stream" — under the 'spec'
+        tokenizer stopwords are not indexed and cannot appear inside a
+        phrase.  Requires a docstore (index/docstore.write_docstore) next
+        to the postings; positions-in-index would avoid the forward-index
+        fetch but cost index bytes on every non-phrase query."""
+        from .docstore import DocStore
+        from ..oracle.tokenizer import tokenize_doc, tokenize_simple
+
+        tok = (
+            tokenize_simple
+            if (tokenizer or self.tokenizer) == "simple"
+            else tokenize_doc
+        )
+        phrases = {str(q): tok(text) for q, text in queries}
+        live = [(q, t) for q, t in queries if phrases[str(q)]]
+        cand_rows = self.search_local(
+            live, k=k, model=model, mode="and", _all_matches=True
+        )
+        by_q: dict[str, list[tuple[int, float]]] = {}
+        all_ids: set[int] = set()
+        for qid, doc_id, score, _rank in cand_rows:
+            by_q.setdefault(qid, []).append((doc_id, score))
+            all_ids.add(doc_id)
+        texts = DocStore(self.index_dir).texts_for(sorted(all_ids))
+        out: list[tuple[str, int, float, int]] = []
+        for qid, _qtext in queries:
+            qid = str(qid)
+            needle = " " + " ".join(phrases.get(qid, [])) + " "
+            if needle == "  " or qid not in by_q:
+                continue
+            kept = [
+                (doc_id, score)
+                for doc_id, score in by_q[qid]
+                if needle in " " + " ".join(tok(texts.get(doc_id, ""))) + " "
+            ]
+            kept.sort(key=lambda ds: (-math.floor(ds[1] * _RANK_Q), ds[0]))
+            out.extend(
+                (qid, int(doc_id), float(score), rank)
+                for rank, (doc_id, score) in enumerate(kept[:k], start=1)
+            )
         return out
 
 

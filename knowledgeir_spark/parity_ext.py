@@ -241,14 +241,13 @@ def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARITY_INDEX_CACHE: dict[str, str] = {}
 
 
-def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The POSTING-INDEX query path under the same SQL oracle as the
-    full-scan flagship: build once per sf_dir (simple tokenizer), search the
-    embedded query set, emit identical columns."""
+def ensure_parity_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the shared simple-tokenizer parity index;
+    returns its directory.  Used by the indexed parity rows here and the
+    boolean/phrase serving rows in parity_web."""
     import tempfile
 
     from .index.build import IndexConfig, build_index
-    from .index.query import IndexReader
 
     key = os.path.abspath(sf_dir)
     if key not in _PARITY_INDEX_CACHE:
@@ -263,7 +262,16 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             input_token=key,
         )
         _PARITY_INDEX_CACHE[key] = idx_dir
-    reader = IndexReader(spark, _PARITY_INDEX_CACHE[key])
+    return _PARITY_INDEX_CACHE[key]
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSTING-INDEX query path under the same SQL oracle as the
+    full-scan flagship: build once per sf_dir (simple tokenizer), search the
+    embedded query set, emit identical columns."""
+    from .index.query import IndexReader
+
+    reader = IndexReader(spark, ensure_parity_index(spark, sf_dir))
     queries = [(str(q), text) for q, text in ENTRY_QUERIES]
     out = reader.search(queries, k=TOPK, model="bm25", prune=True)
     return out.select(

@@ -1104,6 +1104,210 @@ SELECT prefix, term, df, rank FROM pick WHERE rank <= 3
 ORDER BY prefix, rank"""
 
 
+# ---------------------------------------------------------------------------
+# boolean (AND / AND-NOT) and exact-phrase retrieval — the SERVING reader
+# itself under the DuckDB gate (index/query.py search_local mode="and" and
+# search_phrase).  Engine addition: the reference delegates retrieval to
+# Indri/ES (setup.py:23); scoring reuses its bm25 quirks
+# (retrieval_model.py:205-291).
+
+
+# deterministic per-query excluded term: the first token of the NEXT entry
+# query (never one of the query's own terms — asserted at import time)
+_EXCL_TERMS: dict[str, str] = {
+    str(q): ENTRY_QUERIES[(i + 1) % len(ENTRY_QUERIES)][1].split()[0]
+    for i, (q, _t) in enumerate(ENTRY_QUERIES)
+}
+assert all(
+    x not in t.split() for (q, t), x in zip(ENTRY_QUERIES, _EXCL_TERMS.values())
+)
+
+
+def _serving_trec(spark: SparkSession, rows) -> DataFrame:
+    out = spark.createDataFrame(
+        rows, "qid string, doc_id long, score double, rank int"
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        "doc_id",
+        "rank",
+        F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    ).orderBy("qid", "rank")
+
+
+def q_bool_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) top-k through the serving reader: only docs
+    containing EVERY query term, scored bm25, block-skip intersection
+    (df-ascending, rarest term bounds the candidates)."""
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    reader = IndexReader(spark, ensure_parity_index(spark, sf_dir))
+    rows = reader.search_local(
+        [(str(q), t) for q, t in ENTRY_QUERIES], k=TOPK, mode="and"
+    )
+    return _serving_trec(spark, rows)
+
+
+def q_bool_andnot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-NOT through the serving reader: conjunctive over the query terms,
+    minus docs containing the per-query excluded term."""
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    reader = IndexReader(spark, ensure_parity_index(spark, sf_dir))
+    rows = reader.search_local(
+        [(str(q), t) for q, t in ENTRY_QUERIES],
+        k=TOPK,
+        mode="and",
+        exclude={q: [t] for q, t in _EXCL_TERMS.items()},
+    )
+    return _serving_trec(spark, rows)
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k through the serving reader: conjunctive candidates
+    from the posting index, adjacency verified on the docstore forward
+    index, bm25-ranked survivors.  The oracle replays the phrase as a
+    normalized-text substring match (same [a-z0-9]+ token stream)."""
+    import os as _os
+
+    from .index.docstore import write_docstore
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    idx_dir = ensure_parity_index(spark, sf_dir)
+    if not _os.path.isdir(_os.path.join(idx_dir, "docstore")):
+        write_docstore(_docs(spark, sf_dir), idx_dir, n_buckets=16)
+    reader = IndexReader(spark, idx_dir)
+    rows = reader.search_phrase(
+        [(str(q), t) for q, t in ENTRY_QUERIES], k=TOPK, tokenizer="simple"
+    )
+    return _serving_trec(spark, rows)
+
+
+def _conj_cte(exclude: bool) -> str:
+    """Shared bm25-conjunctive CTE chain (mirrors parity._bm25_sql's scoring
+    exactly, plus the all-terms filter and optional exclusion)."""
+    xv = ", ".join(
+        f"({q}, '{t}')"
+        for q, t in sorted(_EXCL_TERMS.items(), key=lambda kv: int(kv[0]))
+    )
+    xv_cte = f"xv(qid, xterm) AS (VALUES {xv})," if exclude else ""
+    qd = (
+        """qd AS (
+  SELECT qd0.qid, qd0.term, qd0.term_idx FROM qd0
+  LEFT JOIN xv ON xv.qid = qd0.qid AND xv.xterm = qd0.term
+  WHERE xv.qid IS NULL
+),"""
+        if exclude
+        else "qd AS (SELECT * FROM qd0),"
+    )
+    notx = (
+        """
+    AND NOT EXISTS (
+      SELECT 1 FROM tf x JOIN xv ON xv.qid = sc.qid
+      WHERE x.term = xv.xterm AND x.doc_id = sc.doc_id)"""
+        if exclude
+        else ""
+    )
+    return f"""
+{_sql_queries_values()},
+qd0 AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+{xv_cte}
+{qd}
+qn AS (SELECT qid, count(*) AS nt FROM qd GROUP BY qid),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score,
+    count(*) AS nmatch
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+conj AS (
+  SELECT sc.qid, sc.doc_id, sc.score
+  FROM scored sc JOIN qn USING (qid)
+  WHERE sc.nmatch = qn.nt{notx}
+),
+ranked AS (
+  SELECT qid, doc_id,
+    row_number() OVER (PARTITION BY qid ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+    CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM conj
+)"""
+
+
+def _bool_and_sql(exclude: bool = False) -> str:
+    return f"""
+WITH {_SQL_TOK},
+{_conj_cte(exclude)}
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
+def _phrase_sql() -> str:
+    ph = ", ".join(f"({q}, '{t}')" for q, t in ENTRY_QUERIES)
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+ph(qid, phrase) AS (VALUES {ph}),
+ntext AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
+  FROM documents
+),
+pdocs AS (
+  SELECT ph.qid, ntext.doc_id
+  FROM ph JOIN ntext ON ntext.s LIKE '% ' || ph.phrase || ' %'
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+conj AS (
+  SELECT sc.qid, sc.doc_id, sc.score FROM scored sc JOIN pdocs USING (qid, doc_id)
+),
+ranked AS (
+  SELECT qid, doc_id,
+    row_number() OVER (PARTITION BY qid ORDER BY floor(score * 1e9) DESC, doc_id) AS rank,
+    CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+  FROM conj
+)
+SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
@@ -1120,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "pii_scrub": q_pii_scrub,
         "host_collapse": q_host_collapse,
+        "bool_and_topk": q_bool_and_topk,
+        "bool_andnot_topk": q_bool_andnot_topk,
+        "phrase_topk": q_phrase_topk,
     }
 
 
@@ -1139,4 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _C4_CLEAN_SQL,
         "pii_scrub": _pii_sql(),
         "host_collapse": _host_collapse_sql(),
+        "bool_and_topk": _bool_and_sql(),
+        "bool_andnot_topk": _bool_and_sql(exclude=True),
+        "phrase_topk": _phrase_sql(),
     }

@@ -1,0 +1,160 @@
+"""Boolean (AND / AND-NOT) and exact-phrase retrieval on the serving index.
+
+Gate: conjunctive results == a pure-Python brute-force oracle (membership,
+scores, and rank order under the engine key); AND of a single term is
+rank-identical to the OR path; the block-skip intersection actually skips
+head-term blocks when the rarest term bounds the candidate set; phrase
+results == a tokenize-and-scan oracle; the distributed path equals the
+serving path.  Reference scope: conjunctive/phrase retrieval is an engine
+addition (the reference delegates retrieval to Indri/ES — setup.py:23);
+scoring reuses the reference bm25 quirks (retrieval_model.py:205-291).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from knowledgeir_spark.fixtures.webpages import gen_webpages
+from knowledgeir_spark.index.build import IndexConfig, build_index
+from knowledgeir_spark.index.docstore import write_docstore
+from knowledgeir_spark.index.query import IndexReader
+from knowledgeir_spark.oracle.tokenizer import tokenize_query, tokenize_simple
+
+RARE = "xylophonezebra"
+
+
+@pytest.fixture(scope="module")
+def bool_index(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("bool_index"))
+    pdf = (
+        gen_webpages(n_docs=500, with_html=False)
+        .reset_index()
+        .rename(columns={"index": "doc_id"})
+    )
+    # plant a RARE term in 3 docs far apart so conjunctive queries with it
+    # bound the candidate set to 3 ids (the block-skip lever)
+    for d in (7, 251, 493):
+        pdf.loc[d, "text"] = pdf.loc[d, "text"] + f" {RARE}"
+    docs = spark.createDataFrame(pdf[["doc_id", "text"]])
+    cfg = IndexConfig(
+        block_size=16, salt_range=64, n_buckets=8, tokenizer="simple"
+    )
+    build_index(spark, docs, idx_dir, cfg, input_token="bool500")
+    write_docstore(spark.createDataFrame(pdf[["doc_id", "text"]]), idx_dir)
+    toks = {
+        int(r.doc_id): tokenize_simple(r.text) for r in pdf.itertuples()
+    }
+    return dict(idx_dir=idx_dir, toks=toks)
+
+
+def _brute_bm25(toks: dict[int, list[str]], terms: list[str], doc: int):
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    from collections import Counter
+
+    df = Counter(t for ts in toks.values() for t in set(ts))
+    tl = toks[doc]
+    dl = len(tl)
+    s = 0.0
+    for t in set(terms):
+        tf = tl.count(t)
+        ratio = max((n - df[t] + 0.5) / (df[t] + 0.5), 1.0)
+        idf = max(math.log(ratio), 0.0)
+        s += ratio * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * idf
+    return math.log(max(s, 1.0))
+
+
+def _brute_and(toks, terms, k=10, exclude=()):
+    pos = [t for t in terms if t not in exclude]
+    match = [
+        d
+        for d, ts in toks.items()
+        if all(t in ts for t in pos) and not any(x in ts for x in exclude)
+    ]
+    scored = sorted(
+        ((d, _brute_bm25(toks, pos, d)) for d in match),
+        key=lambda x: (-math.floor(x[1] * 1e9), x[0]),
+    )
+    return scored[:k]
+
+
+def test_and_matches_brute_force(spark, bool_index):
+    r = IndexReader(spark, bool_index["idx_dir"])
+    toks = bool_index["toks"]
+    queries = [("1", "the data spark"), ("2", f"{RARE} the"), ("3", "nosuchterm the")]
+    res = r.search_local(queries, k=10, mode="and")
+    for qid, qtext in queries:
+        exp = _brute_and(toks, tokenize_query(qtext))
+        got = [(d, s) for (q, d, s, _rk) in res if q == qid]
+        assert [d for d, _ in exp] == [d for d, _ in got], qid
+        for (_, a), (_, b) in zip(exp, got):
+            assert abs(a - b) < 1e-9
+
+
+def test_and_of_single_term_equals_or(spark, bool_index):
+    r = IndexReader(spark, bool_index["idx_dir"])
+    q = [("1", "the")]
+    a = r.search_local(q, k=10, mode="and")
+    o = r.search_local(q, k=10, mode="or")
+    assert [(d, rk) for (_, d, _, rk) in a] == [(d, rk) for (_, d, _, rk) in o]
+    for (_, _, sa, _), (_, _, so, _) in zip(a, o):
+        assert abs(sa - so) < 1e-9
+
+
+def test_exclusion(spark, bool_index):
+    r = IndexReader(spark, bool_index["idx_dir"])
+    toks = bool_index["toks"]
+    # exclude a mid-frequency term; positive terms common
+    res = r.search_local(
+        [("1", "the data")], k=10, mode="and", exclude={"1": [RARE]}
+    )
+    exp = _brute_and(toks, ["the", "data"], exclude=(RARE,))
+    got = [(d, s) for (_, d, s, _rk) in res]
+    assert [d for d, _ in exp] == [d for d, _ in got]
+    with pytest.raises(ValueError):
+        r.search_local([("1", "the")], k=5, mode="or", exclude={"1": ["x"]})
+
+
+def test_block_skip_engages_on_rare_term(spark, bool_index):
+    """With the rarest term bounding candidates to 3 docs, the head terms'
+    blocks outside those 3 doc-id ranges must not be decoded."""
+    r = IndexReader(spark, bool_index["idx_dir"])
+    r.search_local([("1", f"{RARE} the data spark")], k=10, mode="and")
+    st = r.last_query_stats()
+    assert st["bool_candidates"] >= 1
+    assert st["bool_blocks_decoded"] < st["bool_blocks_total"] * 0.5, st
+
+
+def test_phrase_matches_scan_oracle(spark, bool_index):
+    r = IndexReader(spark, bool_index["idx_dir"])
+    toks = bool_index["toks"]
+    queries = [("1", "the data"), ("2", "data the"), ("3", f"{RARE} nomatch")]
+    res = r.search_phrase(queries, k=10)
+    for qid, qtext in queries:
+        pt = tokenize_simple(qtext)
+        needle = " " + " ".join(pt) + " "
+        match = [
+            d for d, ts in toks.items() if needle in " " + " ".join(ts) + " "
+        ]
+        exp = sorted(
+            ((d, _brute_bm25(toks, pt, d)) for d in match),
+            key=lambda x: (-math.floor(x[1] * 1e9), x[0]),
+        )[:10]
+        got = [(d, s) for (q, d, s, _rk) in res if q == qid]
+        assert [d for d, _ in exp] == [d for d, _ in got], qid
+        for (_, a), (_, b) in zip(exp, got):
+            assert abs(a - b) < 1e-9
+
+
+def test_distributed_and_equals_local(spark, bool_index):
+    r = IndexReader(spark, bool_index["idx_dir"])
+    queries = [("1", "the data spark"), ("2", f"{RARE} the")]
+    excl = {"2": ["data"]}
+    local = r.search_local(queries, k=10, mode="and", exclude=excl)
+    dist = r.search(queries, k=10, mode="and", exclude=excl).collect()
+    d = sorted((row["qid"], row["doc_id"], round(row["score"], 9), row["rank"])
+               for row in dist)
+    l_ = sorted((q, d_, round(s, 9), rk) for q, d_, s, rk in local)
+    assert d == l_

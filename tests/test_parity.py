@@ -74,6 +74,7 @@ def test_all_queries_have_oracles(entry_mod):
     "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ivf_ann",
     "sdm_rerank", "spell_correct", "bm25f_topk", "snippets", "autocomplete",
     "anchor_bm25f", "c4_clean", "pii_scrub", "host_collapse",
+    "bool_and_topk", "bool_andnot_topk", "phrase_topk",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
