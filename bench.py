@@ -789,7 +789,10 @@ def main() -> None:
     from knowledgeir_spark import parity_web
 
     web_legs: dict[str, dict] = {}
-    for name in ("spell_correct", "bm25f_topk", "snippets"):
+    for name in (
+        "spell_correct", "bm25f_topk", "snippets",
+        "bool_and_topk", "phrase_topk",
+    ):
         sec, ev, _ = _timed_leg(
             lambda: parity_web.queries()[name](spark, SF_DIR).collect(), n_leg
         )

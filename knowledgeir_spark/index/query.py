@@ -1324,6 +1324,7 @@ class IndexReader:
         k: int = 20,
         model: str = "bm25",
         tokenizer: str | None = None,
+        verify: str = "auto",
     ) -> list[tuple[str, int, float, int]]:
         """Exact-phrase top-k: the standard two-phase web-serving shape.
 
@@ -1340,9 +1341,14 @@ class IndexReader:
         in field_stats; override with `tokenizer=`), so adjacency means
         "adjacent in the indexed token stream" — under the 'spec'
         tokenizer stopwords are not indexed and cannot appear inside a
-        phrase.  Requires a docstore (index/docstore.write_docstore) next
-        to the postings; positions-in-index would avoid the forward-index
-        fetch but cost index bytes on every non-phrase query."""
+        phrase.
+
+        verify="positions" reads the positional store
+        (index/positions.write_positions_store — pruned columnar read of
+        the phrase terms' buckets + vectorized offset intersection);
+        verify="docstore" re-tokenizes candidate texts from the forward
+        index; "auto" prefers the positions store when present.  Both
+        paths implement the same adjacency spec (tested equal)."""
         from .docstore import DocStore
         from ..oracle.tokenizer import tokenize_doc, tokenize_simple
 
@@ -1351,6 +1357,12 @@ class IndexReader:
             if (tokenizer or self.tokenizer) == "simple"
             else tokenize_doc
         )
+        if verify == "auto":
+            verify = (
+                "positions"
+                if os.path.isdir(os.path.join(self.index_dir, "positions"))
+                else "docstore"
+            )
         phrases = {str(q): tok(text) for q, text in queries}
         live = [(q, t) for q, t in queries if phrases[str(q)]]
         cand_rows = self.search_local(
@@ -1361,17 +1373,32 @@ class IndexReader:
         for qid, doc_id, score, _rank in cand_rows:
             by_q.setdefault(qid, []).append((doc_id, score))
             all_ids.add(doc_id)
-        texts = DocStore(self.index_dir).texts_for(sorted(all_ids))
+        if verify == "positions":
+            from .positions import PositionsStore, phrase_match
+
+            store = PositionsStore(self.index_dir)
+            all_terms = sorted({t for p in phrases.values() for t in p})
+            pos_map = store.positions_for(all_terms, sorted(all_ids))
+
+            def matches(qid: str, doc_id: int) -> bool:
+                return phrase_match(pos_map, phrases[qid], doc_id)
+
+        else:
+            texts = DocStore(self.index_dir).texts_for(sorted(all_ids))
+
+            def matches(qid: str, doc_id: int) -> bool:
+                needle = " " + " ".join(phrases[qid]) + " "
+                return needle in " " + " ".join(tok(texts.get(doc_id, ""))) + " "
+
         out: list[tuple[str, int, float, int]] = []
         for qid, _qtext in queries:
             qid = str(qid)
-            needle = " " + " ".join(phrases.get(qid, [])) + " "
-            if needle == "  " or qid not in by_q:
+            if not phrases.get(qid) or qid not in by_q:
                 continue
             kept = [
                 (doc_id, score)
                 for doc_id, score in by_q[qid]
-                if needle in " " + " ".join(tok(texts.get(doc_id, ""))) + " "
+                if matches(qid, doc_id)
             ]
             kept.sort(key=lambda ds: (-math.floor(ds[1] * _RANK_Q), ds[0]))
             out.extend(

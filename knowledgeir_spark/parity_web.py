@@ -1186,6 +1186,30 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serving_trec(spark, rows)
 
 
+def q_phrase_positional_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POSITIONAL-STORE phrase path under the same oracle as
+    phrase_topk: adjacency verified by offset intersection over the
+    bucket-pruned positions store instead of re-tokenizing docstore
+    texts.  Same spec, different physical plan — both DuckDB-gated."""
+    import os as _os
+
+    from .index.positions import write_positions_store
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    idx_dir = ensure_parity_index(spark, sf_dir)
+    if not _os.path.isdir(_os.path.join(idx_dir, "positions")):
+        write_positions_store(_docs(spark, sf_dir), idx_dir, tokenizer="simple")
+    reader = IndexReader(spark, idx_dir)
+    rows = reader.search_phrase(
+        [(str(q), t) for q, t in ENTRY_QUERIES],
+        k=TOPK,
+        tokenizer="simple",
+        verify="positions",
+    )
+    return _serving_trec(spark, rows)
+
+
 def _conj_cte(exclude: bool) -> str:
     """Shared bm25-conjunctive CTE chain (mirrors parity._bm25_sql's scoring
     exactly, plus the all-terms filter and optional exclusion)."""
@@ -1327,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_topk": q_bool_and_topk,
         "bool_andnot_topk": q_bool_andnot_topk,
         "phrase_topk": q_phrase_topk,
+        "phrase_positional_topk": q_phrase_positional_topk,
     }
 
 
@@ -1349,4 +1374,5 @@ def oracle_sql() -> dict[str, str]:
         "bool_and_topk": _bool_and_sql(),
         "bool_andnot_topk": _bool_and_sql(exclude=True),
         "phrase_topk": _phrase_sql(),
+        "phrase_positional_topk": _phrase_sql(),
     }

@@ -158,3 +158,61 @@ def test_distributed_and_equals_local(spark, bool_index):
                for row in dist)
     l_ = sorted((q, d_, round(s, 9), rk) for q, d_, s, rk in local)
     assert d == l_
+
+
+def test_phrase_positions_store(spark, bool_index):
+    """The positional store path implements the same adjacency spec as the
+    docstore path: identical results, and the store's arrays match a
+    direct enumerate of the tokenized docs."""
+    from knowledgeir_spark.index.positions import (
+        PositionsStore,
+        write_positions_store,
+    )
+
+    idx_dir = bool_index["idx_dir"]
+    toks = bool_index["toks"]
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(toks), "text": [" ".join(v) for v in toks.values()]}
+        )
+    )
+    write_positions_store(docs, idx_dir)  # tokenizer/buckets from field_stats
+    store = PositionsStore(idx_dir)
+    assert store.tokenizer == "simple"
+    # spot-check stored positions against enumerate()
+    some = [d for d in (7, 251, 493) if d in toks]
+    pos = store.positions_for(["the", RARE], some)
+    for d in some:
+        exp = [i for i, t in enumerate(toks[d]) if t == "the"]
+        assert list(pos.get(("the", d), [])) == exp
+        assert list(pos[(RARE, d)]) == [len(toks[d]) - 1]
+
+    r = IndexReader(spark, idx_dir)
+    queries = [("1", "the data"), ("2", "data the"), ("3", "the data spark")]
+    via_pos = r.search_phrase(queries, k=10, verify="positions")
+    via_doc = r.search_phrase(queries, k=10, verify="docstore")
+    assert via_pos == via_doc
+    # auto prefers the store once it exists
+    assert r.search_phrase(queries, k=10) == via_pos
+
+
+def test_phrase_repeated_term_adjacency(spark, bool_index):
+    """'data data' must require two CONSECUTIVE occurrences, not just tf>=2
+    — both verify paths against a direct scan."""
+    r = IndexReader(spark, bool_index["idx_dir"])
+    toks = bool_index["toks"]
+    for verify in ("positions", "docstore"):
+        got = {
+            d
+            for (_, d, _s, _rk) in r.search_phrase(
+                [("1", "data data")], k=10_000, verify=verify
+            )
+        }
+        exp_all = {
+            d
+            for d, ts in toks.items()
+            if " data data " in " " + " ".join(ts) + " "
+        }
+        assert got == exp_all, verify

@@ -75,6 +75,7 @@ def test_all_queries_have_oracles(entry_mod):
     "sdm_rerank", "spell_correct", "bm25f_topk", "snippets", "autocomplete",
     "anchor_bm25f", "c4_clean", "pii_scrub", "host_collapse",
     "bool_and_topk", "bool_andnot_topk", "phrase_topk",
+    "phrase_positional_topk",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
