@@ -27,6 +27,15 @@ Plan shape / 100 TB notes:
   parquet / Iceberg partition on cid) the probe becomes partition pruning
   at the scan.
 
+Measured recall (scripts/ivf_recall.py -> BENCH/ivf_recall.json, 50
+queries, recall@10 vs brute force): on the near-uniform testdata vectors
+— ANN's worst case — recall tracks the scored corpus fraction (0.54 at
+the nprobe/k = 2/8 defaults scoring ~25%; 0.91 at 6/8 scoring ~75%); on
+clustered vectors (tight 16-cluster Gaussian mixture, the shape real
+embedding spaces have) recall is 1.0 probing a single bucket of 16.
+`nprobe` is the recall/compute knob; pick it from the grid artifact for
+your data's cluster structure.
+
 No reference counterpart (KnowledgeIR ships embeddings to external tools);
 engine addition for the training-data pipeline.
 """

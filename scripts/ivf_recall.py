@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Measure IVF ANN recall vs brute-force cosine ground truth.
+
+Same contract as scripts/rp_lsh_recall.py but for the partition-based ANN
+path (operators/ivf.py): for a grid of (k_clusters, nprobe) it reports
+recall@k against brute_force_topk on the same vectors/queries, plus the
+mean fraction of the corpus scored per query (probed-bucket mass / N —
+the compute knob: exact cosine is evaluated only inside probed buckets).
+
+Usage:
+  python scripts/ivf_recall.py [sf_dir] [k]
+defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01, k=10.
+
+Writes BENCH/ivf_recall.json and prints one JSON line.  Deterministic:
+centroid init is the k lowest vec_ids, assignment ties break to the lowest
+cid (ivf.py's determinism contract), so a given (data, grid) always
+produces the same numbers — tests/test_web_ops.py asserts the floor at the
+shipped defaults.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (k_clusters, nprobe, iters)
+GRID = [
+    (8, 1, 3), (8, 2, 3), (8, 3, 3), (8, 4, 3), (8, 5, 3), (8, 6, 3),
+    (16, 2, 3), (16, 4, 3), (16, 6, 3), (16, 8, 3),
+]
+N_QUERIES = 50
+# the clustered-regime probe: 16 Gaussian clusters, per-coordinate sigma 0.05 around unit
+# centers — the shape real embedding spaces (sentence/doc encoders) have,
+# vs the near-uniform testdata vectors (ANN's worst case)
+CLUSTERED_N, CLUSTERED_DIM, CLUSTERED_K = 2000, 64, 16
+
+
+def measure(spark, sf_dir: str, k: int = 10) -> dict:
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ivf import ivf_topk
+    from knowledgeir_spark.operators.similarity import brute_force_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n_vecs = vecs.count()
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        .cache()
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(vecs, queries, k=k).collect()
+    }
+    n_q = queries.count()
+    rows = []
+    for k_clusters, nprobe, iters in GRID:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_topk(
+                vecs, queries, k_clusters=k_clusters, iters=iters,
+                nprobe=nprobe, k=k,
+            ).collect()
+        }
+        recall = len(got & exact) / max(len(exact), 1)
+        # scored corpus fraction: total candidates in probed buckets
+        probed = (
+            ivf_topk(
+                vecs, queries, k_clusters=k_clusters, iters=iters,
+                nprobe=nprobe, k=10**9,
+            )
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        frac = sum(r["n"] for r in probed) / (n_q * max(n_vecs - 1, 1))
+        rows.append(
+            {
+                "k_clusters": k_clusters,
+                "nprobe": nprobe,
+                "iters": iters,
+                "recall_at_k": round(recall, 4),
+                "scored_fraction": round(frac, 4),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return {
+        "metric": "ivf_recall_grid",
+        "sf_dir": sf_dir,
+        "k": k,
+        "n_vectors": n_vecs,
+        "n_queries": n_q,
+        "grid": rows,
+    }
+
+
+def measure_clustered(spark, k: int = 10) -> list[dict]:
+    """Recall on CLUSTERED vectors (the regime ANN is for): deterministic
+    numpy Gaussian mixture, same grid discipline."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ivf import ivf_topk
+    from knowledgeir_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((CLUSTERED_K, CLUSTERED_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = (
+        centers[rng.integers(0, CLUSTERED_K, CLUSTERED_N)]
+        + 0.05 * rng.standard_normal((CLUSTERED_N, CLUSTERED_DIM))
+    )
+    vecs = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(CLUSTERED_N), "embedding": [list(map(float, p)) for p in pts]}
+        )
+    ).cache()
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .cache()
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(vecs, queries, k=k).collect()
+    }
+    rows = []
+    for k_clusters, nprobe, iters in [(16, 1, 5), (16, 2, 5), (16, 4, 5)]:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_topk(
+                vecs, queries, k_clusters=k_clusters, iters=iters,
+                nprobe=nprobe, k=k,
+            ).collect()
+        }
+        rows.append(
+            {
+                "k_clusters": k_clusters,
+                "nprobe": nprobe,
+                "iters": iters,
+                "recall_at_k": round(len(got & exact) / max(len(exact), 1), 4),
+                "nominal_fraction": round(nprobe / k_clusters, 4),
+            }
+        )
+        print(json.dumps({"clustered": rows[-1]}), file=sys.stderr)
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from knowledgeir_spark.session import get_spark
+
+    spark = get_spark(cpus=8, app_name="kir-ivf-recall")
+    out = measure(spark, sf_dir, k)
+    out["clustered_grid"] = measure_clustered(spark, k)
+    spark.stop()
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ivf_recall.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -232,6 +232,44 @@ def test_ivf_topk_recall_floor(spark):
     assert recall >= 0.5, f"IVF recall@10 = {recall:.3f}"
 
 
+def test_ivf_recall_perfect_on_clustered_vectors(spark):
+    """On clustered vectors (the regime embedding spaces live in — tight
+    Gaussian mixture) IVF recall@10 is exactly 1.0 while probing 2/16
+    buckets: every true neighbor shares the query's cluster, and Lloyd
+    recovers the mixture. Mirrors scripts/ivf_recall.py measure_clustered;
+    BENCH/ivf_recall.json carries the measured grid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ivf import ivf_topk
+    from knowledgeir_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, 16, 2000)] + 0.05 * rng.standard_normal((2000, 64))
+    vecs = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(2000), "embedding": [list(map(float, p)) for p in pts]}
+        )
+    )
+    qs = vecs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_topk(vecs, qs, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(
+            vecs, qs, k_clusters=16, iters=5, nprobe=2, k=10
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall == 1.0, f"clustered IVF recall@10 = {recall:.3f}"
+
+
 # ---------------------------------------------------------------------------
 # streaming canonical-URL dedup == batch url_dedup keep-list
 
