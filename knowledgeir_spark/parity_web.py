@@ -1332,6 +1332,216 @@ SELECT qid, doc_id, rank, score_e6 FROM ranked WHERE rank <= {TOPK}
 ORDER BY qid, rank"""
 
 
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion, facets, repeated-ngram span dedup (round 4 additions)
+
+RRF_DEPTH = 50
+RRF_K = 60
+NGRAM_N = 8
+
+
+def _bm25_ranked_depth(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """Reference-quirk BM25 ranked to `depth` (qid, doc_id, rank)."""
+    matched, n, avgdl = _scored_matched(spark, sf_dir)
+    scored = matched.groupBy("qid", "doc_id").agg(
+        bm25_finalize(
+            ordered_sum(
+                F.col("term_idx"),
+                bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
+            )
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.floor(F.col("score") * 1e9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= depth)
+        .select("qid", "doc_id", "rank")
+    )
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 depth-50 fused with embedding-cosine depth-50
+    by reciprocal-rank (operators/fusion.rrf_fuse).  The query embedding for
+    qid q is deterministically the embedding of vec_id q, and embedding
+    vec_ids are read as doc_ids — the harness alignment that lets one corpus
+    serve both legs (same trick as the LeToR families' derived columns)."""
+    from .operators.fusion import rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    bm = _bm25_ranked_depth(spark, sf_dir, RRF_DEPTH)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [q for q, _ in ENTRY_QUERIES]
+    qvecs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ev = brute_force_topk(emb, qvecs, k=RRF_DEPTH).select(
+        F.col("q_id").alias("qid"), F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([bm, ev], k_rrf=RRF_K, topk=TOPK)
+    return fused.select(
+        "qid", "doc_id", "rank",
+        F.floor(F.col("rrf_score") * 1e6).cast("long").alias("rrf_e6"),
+    ).orderBy("qid", "rank")
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facets over the full BM25 match set: per query, how matching docs
+    distribute over the `lang` attribute (operators/facets.facet_counts)."""
+    from .operators.facets import facet_counts
+
+    matched, _, _ = _scored_matched(spark, sf_dir)
+    return (
+        facet_counts(matched, _docs(spark, sf_dir), "lang")
+        .select("qid", F.col("facet").alias("lang"), "n_docs")
+        .orderBy("qid", "lang")
+    )
+
+
+def q_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup stats (Lee et al. ACL'22 shape):
+    duplicated 8-gram starts and covered-token counts per doc."""
+    from .operators.ngram_dedup import repeated_ngram_stats
+
+    return repeated_ngram_stats(
+        _docs(spark, sf_dir), n=NGRAM_N, min_count=2
+    ).orderBy("doc_id")
+
+
+def _rrf_sql() -> str:
+    qids = ", ".join(str(q) for q, _ in ENTRY_QUERIES)
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term, min(pos) AS term_idx FROM q_raw GROUP BY qid, term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(doc_len) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT qd.qid, tf.doc_id, tf.tf::DOUBLE AS tf, dl.doc_len::DOUBLE AS dl, dfs.df
+  FROM qd
+  JOIN tf USING (term) JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+),
+scored AS (
+  SELECT qid, doc_id,
+    ln(greatest(sum(
+      greatest((s.n - df + 0.5) / (df + 0.5), 1.0)
+      * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl)))
+      * greatest(ln(greatest((s.n - df + 0.5) / (df + 0.5), 1.0)), 0.0)
+    ), 1.0)) AS score
+  FROM matched, stats s GROUP BY qid, doc_id
+),
+bm25r AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY floor(score * 1e9) DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= {RRF_DEPTH}
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+qe AS (
+  SELECT q_id, unnest(q_vec)::DOUBLE AS x, generate_subscripts(q_vec, 1) AS i FROM q
+),
+ve AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dots AS (
+  SELECT qe.q_id, ve.vec_id, sum(qe.x * ve.x) AS dot
+  FROM qe JOIN ve ON qe.i = ve.i GROUP BY qe.q_id, ve.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ve GROUP BY vec_id),
+cos AS (
+  SELECT d.q_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  WHERE d.vec_id <> d.q_id
+),
+embr AS (
+  SELECT q_id AS qid, vec_id AS doc_id, rank FROM (
+    SELECT q_id, vec_id,
+      row_number() OVER (PARTITION BY q_id
+                         ORDER BY floor(cos * 1e9) DESC, vec_id ASC) AS rank
+    FROM cos
+  ) WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(b.qid, e.qid) AS qid,
+         coalesce(b.doc_id, e.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K}.0 + b.rank::DOUBLE), 0.0)
+           + coalesce(1.0 / ({RRF_K}.0 + e.rank::DOUBLE), 0.0) AS rrf_score
+  FROM bm25r b FULL OUTER JOIN embr e
+    ON b.qid = e.qid AND b.doc_id = e.doc_id
+),
+franked AS (
+  SELECT qid, doc_id,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY floor(rrf_score * 1e9) DESC, doc_id) AS rank,
+    CAST(floor(rrf_score * 1e6) AS BIGINT) AS rrf_e6
+  FROM fused
+)
+SELECT qid, doc_id, rank, rrf_e6 FROM franked WHERE rank <= {TOPK}
+ORDER BY qid, rank"""
+
+
+def _facet_sql() -> str:
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term FROM q_raw GROUP BY qid, term),
+m AS (SELECT DISTINCT qd.qid, tf.doc_id FROM qd JOIN tf USING (term)),
+fc AS (
+  SELECT m.qid, d.lang, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  GROUP BY m.qid, d.lang
+)
+SELECT qid, lang, n_docs FROM fc ORDER BY qid, lang"""
+
+
+def _ngram_sql() -> str:
+    n = NGRAM_N
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tl AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM base),
+starts AS (
+  SELECT doc_id, unnest(range(n_tokens - {n} + 1)) AS s, toks
+  FROM tl WHERE n_tokens >= {n}
+),
+keys AS (
+  SELECT doc_id, s,
+         md5(list_aggregate(toks[s + 1:s + {n}], 'string_agg', chr(1))) AS key
+  FROM starts
+),
+dup AS (SELECT key FROM keys GROUP BY key HAVING count(*) >= 2),
+ds AS (SELECT k.doc_id, k.s FROM keys k JOIN dup USING (key)),
+pdn AS (SELECT doc_id, count(*)::BIGINT AS n_dup_ngrams FROM ds GROUP BY doc_id),
+cov0 AS (SELECT doc_id, s, unnest(range({n})) AS u FROM ds),
+cov1 AS (SELECT DISTINCT doc_id, s + u AS pos FROM cov0),
+cov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_tokens FROM cov1 GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(p.n_dup_ngrams, 0)::BIGINT AS n_dup_ngrams,
+       coalesce(c.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+FROM tl t
+LEFT JOIN pdn p USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
@@ -1352,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_andnot_topk": q_bool_andnot_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_positional_topk": q_phrase_positional_topk,
+        "rrf_hybrid": q_rrf_hybrid,
+        "facet_counts": q_facet_counts,
+        "ngram_spans": q_ngram_spans,
     }
 
 
@@ -1375,4 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_andnot_topk": _bool_and_sql(exclude=True),
         "phrase_topk": _phrase_sql(),
         "phrase_positional_topk": _phrase_sql(),
+        "rrf_hybrid": _rrf_sql(),
+        "facet_counts": _facet_sql(),
+        "ngram_spans": _ngram_sql(),
     }
