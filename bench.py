@@ -172,6 +172,15 @@ def _dedup_code_fingerprint() -> str:
     ))
 
 
+def _ngram_code_fingerprint() -> str:
+    return _code_fingerprint((
+        "knowledgeir_spark/operators/ngram_dedup.py",
+        "knowledgeir_spark/functions/text.py",
+        "knowledgeir_spark/fixtures/webpages.py",
+        "knowledgeir_spark/session.py",
+    ))
+
+
 def _host_busy_steal() -> tuple[int, int]:
     """(busy, steal) jiffies from the aggregate /proc/stat cpu line.  Steal
     accrues only on RUNNABLE vCPUs, so during a build it is a direct
@@ -342,6 +351,51 @@ def dedup_once(cpus: int, n_docs: int) -> dict:
     out["simhash_sec"] = round(time.time() - t0, 3)
     spark.stop()
     return out
+
+
+def ngram_once(cpus: int, n_docs: int) -> dict:
+    """Subprocess entry: repeated-8-gram span dedup (operators/ngram_dedup)
+    over the Zipf webtext corpus with every 100th doc re-added verbatim —
+    the planted copies are wall-to-wall duplicated spans, so
+    `full_dup_docs` (docs whose every token is inside a duplicated window)
+    must cover all planted pairs; wall time evidences that the md5-keyed
+    n-gram shuffle scales like the postings build shuffle it mirrors."""
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ngram_dedup import repeated_ngram_stats
+    from knowledgeir_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app_name=f"kir-bench-ngram-{n_docs}")
+    base = spark.read.parquet(webtext_path(n_docs))
+    base.select(F.sum(F.length("text"))).collect()  # warm page cache
+    dups = base.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + n_docs
+    )
+    docs = base.unionByName(dups)
+    planted = n_docs // 100 + (1 if n_docs % 100 else 0)
+    t0 = time.time()
+    stats = repeated_ngram_stats(docs, n=8, min_count=2)
+    agg = stats.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_dup_ngrams").alias("dup_ngrams"),
+        F.sum((F.col("n_dup_tokens") > 0).cast("long")).alias("docs_with_dups"),
+        F.sum(
+            (
+                (F.col("n_dup_tokens") == F.col("n_tokens"))
+                & (F.col("n_tokens") >= 8)
+            ).cast("long")
+        ).alias("full_dup_docs"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 3)
+    spark.stop()
+    return {
+        "cpus": cpus, "n_docs": n_docs, "planted_dup_docs": 2 * planted,
+        "ngram_span_sec": wall,
+        "docs_scored": int(agg["docs"]),
+        "dup_ngrams": int(agg["dup_ngrams"]),
+        "docs_with_dups": int(agg["docs_with_dups"]),
+        "full_dup_docs": int(agg["full_dup_docs"]),
+    }
 
 
 def _timed_leg(fn, n: int):
@@ -608,6 +662,43 @@ def main() -> None:
             ),
         }
 
+    # 2b1b. repeated-ngram span dedup at bench scale: the md5-keyed n-gram
+    # shuffle is the same shape as the postings build; one cached leg
+    # records wall + span counts with planted full-duplicate docs.
+    if os.environ.get("KIR_BENCH_NGRAM", "1") == "1":
+        nfp = _ngram_code_fingerprint()
+        ngram_out = []
+        for nd in (250_000,):
+            key = os.path.join(CACHE, f"ngram_{nd}_{nfp}.json")
+            if os.path.exists(key):
+                with open(key) as f:
+                    leg = json.load(f)
+                leg["cached"] = True
+            else:
+                ensure_webtext(nd)
+                leg = _subprocess_leg(
+                    {
+                        "KIR_BENCH_NGRAM_RUN_DOCS": str(nd),
+                        "KIR_BENCH_NGRAM_RUN_CPUS": str(CPUS),
+                    },
+                    1800, f"ngram spans (n_docs={nd})",
+                )
+                if leg:
+                    with open(key, "w") as f:
+                        json.dump(leg, f)
+            if leg:
+                ngram_out.append(leg)
+        extras["ngram_span_scale"] = {
+            "legs": ngram_out,
+            "ngram_code_fingerprint": nfp,
+            "note": (
+                "corpus = webtext + every-100th doc duplicated verbatim; "
+                "8-gram windows, min_count=2, md5 keys.  full_dup_docs "
+                "must cover the planted copies (both halves of each pair "
+                "are wall-to-wall duplicated spans)."
+            ),
+        }
+
     # 2b2. serving block-skip probe: impact-ordered blocks vs doc-ordered,
     # and doc-id sparsity (stride 16), at 1M/2M docs — the measured
     # evidence that block bounds discriminate (skip rate) and what that
@@ -833,6 +924,15 @@ if __name__ == "__main__":
                     os.environ.get("KIR_BENCH_PROBE_ORDER", "docid"),
                     int(os.environ.get("KIR_BENCH_PROBE_STRIDE", "1")),
                     os.environ.get("KIR_BENCH_PROBE_FP", "nofp"),
+                )
+            )
+        )
+    elif os.environ.get("KIR_BENCH_NGRAM_RUN_DOCS"):
+        print(
+            json.dumps(
+                ngram_once(
+                    int(os.environ.get("KIR_BENCH_NGRAM_RUN_CPUS", str(CPUS))),
+                    int(os.environ["KIR_BENCH_NGRAM_RUN_DOCS"]),
                 )
             )
         )

@@ -942,6 +942,8 @@ class IndexReader:
         )
         # lazy delete-key index for suggest(); built once per reader
         self._spell_index: dict[str, list[str]] | None = None
+        # lazy facet sidecar reader (facet_counts_local)
+        self._facet_store = None
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
@@ -1170,6 +1172,52 @@ class IndexReader:
             cached += len(ids)
         return {"terms_warmed": warmed, "postings_cached": cached,
                 "sec": round(time.time() - t0, 3)}
+
+    def facet_counts_local(
+        self, queries: list[tuple[str, str]], facet: str
+    ) -> list[tuple[str, str, int]]:
+        """Serving-side facets (ES-aggs shape): for each query, count how
+        the FULL match set (docs containing ANY query term — the same OR
+        match set operators/facets.facet_counts aggregates) distributes
+        over a categorical document attribute from the facet sidecar
+        (index/facetstore.write_facet_store).
+
+        Cost per query: the pruned columnar read + id-only decode of the
+        |q| terms' doc-id streams (tf/doc_len never decoded — same lever
+        as the zero-idf candidacy path) and one np.bincount over the dense
+        code array; independent of corpus size given the match set.
+        Returns [(qid, facet_value, n_docs)], zero-count values omitted.
+        """
+        import pyarrow.dataset as ds
+
+        from .facetstore import FacetStore
+
+        if self._facet_store is None:
+            self._facet_store = FacetStore(self.index_dir)
+        q_terms, all_terms = _query_term_dicts(queries)
+        buckets = sorted({term_bucket_py(t, self.n_buckets) for t in all_terms})
+        filt = ds.field("bucket").isin(buckets) & ds.field("term").isin(
+            sorted(all_terms)
+        )
+        tbl = self._local_dataset().to_table(
+            filter=filt, columns=["term", "n_docs", "doc_id_deltas"]
+        )
+        pdf = tbl.to_pandas()
+        out: list[tuple[str, str, int]] = []
+        for qid, _qtext in queries:
+            qid = str(qid)
+            terms = {t["term"] for t in q_terms[qid]}
+            sub = pdf[pdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            ids = decode_ids_concat(
+                [bytes(x) for x in sub["doc_id_deltas"]],
+                sub["n_docs"].tolist(),
+                self.codec,
+            ).astype(np.int64)
+            for value, cnt in self._facet_store.counts(facet, np.unique(ids)):
+                out.append((qid, value, cnt))
+        return out
 
     def last_query_stats(self) -> dict:
         """Serving introspection after a search_local call: the last dense
@@ -1468,6 +1516,20 @@ class ShardedReader:
         return _suggest_from_dict(
             terms, self._global_df, self._global_spell_index, min_len
         )
+
+    def facet_counts_local(
+        self, queries: list[tuple[str, str]], facet: str
+    ) -> list[tuple[str, str, int]]:
+        """Facets across shards: doc_ids are globally unique (deterministic
+        id assignment), so a doc's match membership lives in exactly one
+        shard and the global facet histogram is the plain SUM of per-shard
+        histograms — the same additive-merge property the global df relies
+        on.  Each shard needs its own facet sidecar."""
+        merged: dict[tuple[str, str], int] = {}
+        for r in self.readers:
+            for qid, value, cnt in r.facet_counts_local(queries, facet):
+                merged[(qid, value)] = merged.get((qid, value), 0) + cnt
+        return [(q, v, c) for (q, v), c in sorted(merged.items())]
 
     def search_local(
         self,

@@ -1399,6 +1399,29 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_counts_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING facet path under the same oracle as facet_counts: the
+    dense doc->code sidecar (index/facetstore) + id-only posting decode
+    (IndexReader.facet_counts_local) instead of a Spark aggregation —
+    same spec, different physical plan, both DuckDB-gated."""
+    import os as _os
+
+    from .index.facetstore import write_facet_store
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    idx_dir = ensure_parity_index(spark, sf_dir)
+    if not _os.path.isdir(_os.path.join(idx_dir, "facets", "lang")):
+        write_facet_store(_docs(spark, sf_dir), idx_dir, ["lang"])
+    reader = IndexReader(spark, idx_dir)
+    rows = reader.facet_counts_local(
+        [(str(q), t) for q, t in ENTRY_QUERIES], "lang"
+    )
+    return spark.createDataFrame(
+        [(int(q), v, c) for q, v, c in rows], "qid int, lang string, n_docs long"
+    ).orderBy("qid", "lang")
+
+
 def q_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup stats (Lee et al. ACL'22 shape):
     duplicated 8-gram starts and covered-token counts per doc."""
@@ -1564,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_positional_topk": q_phrase_positional_topk,
         "rrf_hybrid": q_rrf_hybrid,
         "facet_counts": q_facet_counts,
+        "facet_counts_serving": q_facet_counts_serving,
         "ngram_spans": q_ngram_spans,
     }
 
@@ -1590,5 +1614,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_positional_topk": _phrase_sql(),
         "rrf_hybrid": _rrf_sql(),
         "facet_counts": _facet_sql(),
+        "facet_counts_serving": _facet_sql(),
         "ngram_spans": _ngram_sql(),
     }

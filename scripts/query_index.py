@@ -39,6 +39,9 @@ def main() -> None:
                    help="serving mode: correct OOV query terms first")
     p.add_argument("--snippets", default=None,
                    help="serving mode: also write snippets TSV from the docstore")
+    p.add_argument("--facets", default=None, metavar="COL:FILE",
+                   help="serving mode: write per-query match-set facet "
+                        "counts over COL to FILE (facet sidecar required)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -112,6 +115,18 @@ def main() -> None:
             for qid, doc_id, start, n, snippet in sorted(snips):
                 f.write(f"{qid}\t{doc_id}\t{start}\t{n}\t{snippet}\n")
         print(f"wrote {args.snippets} ({len(snips)} snippets)")
+
+    if args.facets:
+        if args.mode != "serving":
+            p.error("--facets requires --mode serving")
+        if ":" not in args.facets:
+            p.error("--facets expects COL:FILE")
+        col, path = args.facets.split(":", 1)
+        counts = reader.facet_counts_local(queries, col)
+        with open(path, "w") as f:
+            for qid, value, n in sorted(counts):
+                f.write(f"{qid}\t{value}\t{n}\n")
+        print(f"wrote {path} ({len(counts)} facet rows)")
 
     spark.stop()
 

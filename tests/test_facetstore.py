@@ -1,0 +1,89 @@
+"""Facet sidecar (index/facetstore) + serving facet counts.
+
+The serving path (dense code array + id-only posting decode) must equal
+the distributed operator (operators/facets.facet_counts) on the same
+corpus — the same spec-equality discipline as docstore snippets and the
+positional phrase path.  The DuckDB gate covers the same equality at
+sf0.01 (parity:facet_counts_serving reuses facet_counts' oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mini_index(spark, tmp_path, docs):
+    from knowledgeir_spark.index.build import IndexConfig, build_index
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(block_size=8, salt_range=64, n_buckets=4, tokenizer="simple")
+    build_index(spark, docs, idx, cfg, input_token="facet-test")
+    return idx
+
+
+def test_facet_store_roundtrip(spark, tmp_path):
+    from knowledgeir_spark.index.facetstore import FacetStore, write_facet_store
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en"), (1, "y", "de"), (2, "z", "en"), (3, "w", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    write_facet_store(docs, str(tmp_path), ["lang"])
+    fs = FacetStore(str(tmp_path))
+    assert fs.available() == ["lang"]
+    arr, values = fs.facet("lang")
+    assert values == ["de", "en", "fr"]
+    assert [values[c] for c in arr] == ["en", "de", "en", "fr"]
+    assert fs.counts("lang", np.array([0, 1, 2])) == [("de", 1), ("en", 2)]
+
+
+def test_facet_store_cardinality_guard(spark, tmp_path):
+    from knowledgeir_spark.index.facetstore import write_facet_store
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("attr")
+    )
+    with pytest.raises(ValueError, match="max_cardinality"):
+        write_facet_store(docs, str(tmp_path), ["attr"], max_cardinality=10)
+
+
+def test_serving_facets_equal_operator(spark, tmp_path):
+    """facet_counts_local == operators/facets.facet_counts over the OR
+    match set, on a corpus with multi-term matches and absent terms."""
+    from knowledgeir_spark.functions.text import tokenize_simple_expr
+    from knowledgeir_spark.index.facetstore import write_facet_store
+    from knowledgeir_spark.index.query import IndexReader
+    from knowledgeir_spark.operators.facets import facet_counts
+
+    rows = [
+        (i, f"alpha w{i} " + ("beta shared " if i % 3 == 0 else "gamma "),
+         ["en", "de", "fr"][i % 3])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    idx = _mini_index(spark, tmp_path, docs.select("doc_id", "text"))
+    write_facet_store(docs, idx, ["lang"])
+    reader = IndexReader(spark, idx)
+
+    queries = [("1", "alpha"), ("2", "beta shared"), ("3", "zzmissing"),
+               ("4", "gamma beta")]
+    got = sorted(reader.facet_counts_local(queries, "lang"))
+
+    qdf = spark.createDataFrame(
+        [(q, t) for q, text in queries for t in text.split()],
+        "qid string, term string",
+    )
+    matched = (
+        docs.select("doc_id", F.explode(tokenize_simple_expr(F.col("text"))).alias("term"))
+        .join(qdf, "term")
+        .select("qid", "doc_id")
+    )
+    want = sorted(
+        (r["qid"], r["facet"], r["n_docs"])
+        for r in facet_counts(matched, docs, "lang").collect()
+    )
+    assert got == want
+    assert any(q == "2" for q, _, _ in got)  # multi-term union actually fires
+    assert not any(q == "3" for q, _, _ in got)  # absent term -> no rows
