@@ -259,7 +259,18 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucketed self-join.
-    Pass `dim` explicitly at scale (`.first()` fallback costs a Spark job)."""
+    Pass `dim` explicitly at scale (`.first()` fallback costs a Spark job).
+
+    Exact cosine is verified after bucketing, so precision is exact; only
+    recall can be lost (a pair whose signatures never share a band).  The
+    16/4 defaults are tuned for the NEAR-DUP regime, not top-k ANN (where
+    the same setting measured recall 0.46 and rp_lsh_topk ships 64/16/16):
+    a pair at cosine s collides per bit with p = 1 - arccos(s)/pi, so at
+    the 0.95 threshold p ~= 0.899, band (4 rows) ~= 0.653, any-of-4-bands
+    ~= 0.986 — and higher-cosine pairs (the ones dedup must not miss)
+    collide strictly more often.  Measured on planted pairs:
+    tests/test_dedup_similarity.py::test_near_dup_recall_at_defaults
+    asserts recall >= 0.95 against brute-force ground truth."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     sig_udf = rp_signature_udf(n_planes, dim)
