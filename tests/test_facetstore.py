@@ -87,3 +87,35 @@ def test_serving_facets_equal_operator(spark, tmp_path):
     assert got == want
     assert any(q == "2" for q, _, _ in got)  # multi-term union actually fires
     assert not any(q == "3" for q, _, _ in got)  # absent term -> no rows
+
+
+def test_sharded_facets_equal_monolith(spark, tmp_path):
+    """ShardedReader.facet_counts_local (per-shard histograms, additive
+    merge) must equal the monolithic reader's counts — each doc lives in
+    exactly one shard, so the sum is exact, not approximate."""
+    from knowledgeir_spark.index.facetstore import write_facet_store
+    from knowledgeir_spark.index.query import IndexReader, ShardedReader
+
+    rows = [
+        (i, f"alpha w{i} " + ("beta " if i % 2 == 0 else "gamma "),
+         ["en", "de", "fr"][i % 3])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    mono_idx = _mini_index(spark, tmp_path / "mono", docs.select("doc_id", "text"))
+    write_facet_store(docs, mono_idx, ["lang"])
+
+    dirs = []
+    for i, part in enumerate(
+        [docs.filter("doc_id < 15"), docs.filter("doc_id >= 15")]
+    ):
+        d = _mini_index(spark, tmp_path / f"s{i}", part.select("doc_id", "text"))
+        write_facet_store(part, d, ["lang"])
+        dirs.append(d)
+
+    queries = [("1", "alpha"), ("2", "beta gamma"), ("3", "zzmissing")]
+    mono = sorted(IndexReader(spark, mono_idx).facet_counts_local(queries, "lang"))
+    shard = sorted(ShardedReader(spark, dirs).facet_counts_local(queries, "lang"))
+    assert shard == mono
+    assert any(q == "1" for q, _, _ in mono)  # non-trivial match sets
