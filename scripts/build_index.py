@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow `python scripts/...` without spark-submit --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

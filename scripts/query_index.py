@@ -24,6 +24,9 @@ import os
 import re
 import sys
 
+# allow `python scripts/...` without spark-submit --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
