@@ -15,6 +15,9 @@ Serving extras (``--mode serving``):
   --snippets FILE       render a query-biased snippet per hit from the
                         index docstore (build one with
                         index.docstore.write_docstore) into a TSV
+  --facets COL:FILE     per-query match-set facet counts over COL into a
+                        TSV (build the sidecar with
+                        index.facetstore.write_facet_store)
 """
 
 from __future__ import annotations
