@@ -695,7 +695,10 @@ def main() -> None:
                 "corpus = webtext + every-100th doc duplicated verbatim; "
                 "8-gram windows, min_count=2, md5 keys.  full_dup_docs "
                 "must cover the planted copies (both halves of each pair "
-                "are wall-to-wall duplicated spans)."
+                "are wall-to-wall duplicated spans) EXCEPT copies shorter "
+                "than 8 tokens, which cannot carry a window: at 250k docs "
+                "the Zipf corpus has 18 sub-8-token planted sources (36 "
+                "copies), so full_dup_docs = 5000 - 36 = 4964 exactly."
             ),
         }
 
