@@ -885,7 +885,7 @@ def main() -> None:
     web_legs: dict[str, dict] = {}
     for name in (
         "spell_correct", "bm25f_topk", "snippets",
-        "bool_and_topk", "phrase_topk",
+        "bool_and_topk", "phrase_topk", "facet_counts_serving",
     ):
         sec, ev, _ = _timed_leg(
             lambda: parity_web.queries()[name](spark, SF_DIR).collect(), n_leg
