@@ -1174,13 +1174,17 @@ class IndexReader:
                 "sec": round(time.time() - t0, 3)}
 
     def facet_counts_local(
-        self, queries: list[tuple[str, str]], facet: str
+        self, queries: list[tuple[str, str]], facet: str, mode: str = "or"
     ) -> list[tuple[str, str, int]]:
         """Serving-side facets (ES-aggs shape): for each query, count how
-        the FULL match set (docs containing ANY query term — the same OR
-        match set operators/facets.facet_counts aggregates) distributes
-        over a categorical document attribute from the facet sidecar
-        (index/facetstore.write_facet_store).
+        the match set distributes over a categorical document attribute
+        from the facet sidecar (index/facetstore.write_facet_store).
+
+        mode="or" (default): docs containing ANY query term — the same OR
+        match set operators/facets.facet_counts aggregates.
+        mode="and": drill-down facets — docs containing EVERY query term
+        (per-term id-stream decode, sorted-array intersection); a query
+        with any out-of-vocabulary term has an empty AND set.
 
         Cost per query: the pruned columnar read + id-only decode of the
         |q| terms' doc-id streams (tf/doc_len never decoded — same lever
@@ -1192,6 +1196,8 @@ class IndexReader:
 
         from .facetstore import FacetStore
 
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         if self._facet_store is None:
             self._facet_store = FacetStore(self.index_dir)
         q_terms, all_terms = _query_term_dicts(queries)
@@ -1207,15 +1213,42 @@ class IndexReader:
         for qid, _qtext in queries:
             qid = str(qid)
             terms = {t["term"] for t in q_terms[qid]}
-            sub = pdf[pdf["term"].isin(terms)]
-            if not len(sub):
+            if not terms:
                 continue
-            ids = decode_ids_concat(
-                [bytes(x) for x in sub["doc_id_deltas"]],
-                sub["n_docs"].tolist(),
-                self.codec,
-            ).astype(np.int64)
-            for value, cnt in self._facet_store.counts(facet, np.unique(ids)):
+            if mode == "and":
+                per_term = []
+                for t in sorted(terms):
+                    sub = pdf[pdf["term"] == t]
+                    if not len(sub):
+                        per_term = None  # OOV term -> empty conjunction
+                        break
+                    per_term.append(
+                        decode_ids_concat(
+                            [bytes(x) for x in sub["doc_id_deltas"]],
+                            sub["n_docs"].tolist(),
+                            self.codec,
+                        ).astype(np.int64)
+                    )
+                if per_term is None:
+                    continue
+                ids = per_term[0]
+                for arr in per_term[1:]:
+                    # posting lists are unique-sorted per term by build
+                    ids = np.intersect1d(ids, arr, assume_unique=True)
+                if not len(ids):
+                    continue
+            else:
+                sub = pdf[pdf["term"].isin(terms)]
+                if not len(sub):
+                    continue
+                ids = np.unique(
+                    decode_ids_concat(
+                        [bytes(x) for x in sub["doc_id_deltas"]],
+                        sub["n_docs"].tolist(),
+                        self.codec,
+                    ).astype(np.int64)
+                )
+            for value, cnt in self._facet_store.counts(facet, ids):
                 out.append((qid, value, cnt))
         return out
 
@@ -1518,16 +1551,18 @@ class ShardedReader:
         )
 
     def facet_counts_local(
-        self, queries: list[tuple[str, str]], facet: str
+        self, queries: list[tuple[str, str]], facet: str, mode: str = "or"
     ) -> list[tuple[str, str, int]]:
         """Facets across shards: doc_ids are globally unique (deterministic
         id assignment), so a doc's match membership lives in exactly one
         shard and the global facet histogram is the plain SUM of per-shard
         histograms — the same additive-merge property the global df relies
-        on.  Each shard needs its own facet sidecar."""
+        on (for mode="and" too: a doc's conjunction membership is decided
+        entirely within its own shard).  Each shard needs its own facet
+        sidecar."""
         merged: dict[tuple[str, str], int] = {}
         for r in self.readers:
-            for qid, value, cnt in r.facet_counts_local(queries, facet):
+            for qid, value, cnt in r.facet_counts_local(queries, facet, mode):
                 merged[(qid, value)] = merged.get((qid, value), 0) + cnt
         return [(q, v, c) for (q, v), c in sorted(merged.items())]
 

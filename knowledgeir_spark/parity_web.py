@@ -1422,6 +1422,49 @@ def q_facet_counts_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "lang")
 
 
+def q_facet_counts_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-down facets: the facet histogram over the CONJUNCTIVE match
+    set (docs containing every query term), served from the facet sidecar
+    via per-term id-stream intersection (facet_counts_local mode='and').
+    Oracle: HAVING count(distinct term) = |q| per (qid, doc)."""
+    import os as _os
+
+    from .index.facetstore import write_facet_store
+    from .index.query import IndexReader
+    from .parity_ext import ensure_parity_index
+
+    idx_dir = ensure_parity_index(spark, sf_dir)
+    if not _os.path.isdir(_os.path.join(idx_dir, "facets", "lang")):
+        write_facet_store(_docs(spark, sf_dir), idx_dir, ["lang"])
+    reader = IndexReader(spark, idx_dir)
+    rows = reader.facet_counts_local(
+        [(str(q), t) for q, t in ENTRY_QUERIES], "lang", mode="and"
+    )
+    return spark.createDataFrame(
+        [(int(q), v, c) for q, v, c in rows], "qid int, lang string, n_docs long"
+    ).orderBy("qid", "lang")
+
+
+def _facet_and_sql() -> str:
+    return f"""
+WITH {_SQL_TOK},
+{_sql_queries_values()},
+qd AS (SELECT qid, term FROM q_raw GROUP BY qid, term),
+qn AS (SELECT qid, count(*)::BIGINT AS n_terms FROM qd GROUP BY qid),
+mm AS (
+  SELECT qd.qid, tf.doc_id, count(DISTINCT qd.term)::BIGINT AS k
+  FROM qd JOIN tf USING (term)
+  GROUP BY qd.qid, tf.doc_id
+),
+m AS (SELECT mm.qid, mm.doc_id FROM mm JOIN qn USING (qid) WHERE mm.k = qn.n_terms),
+fc AS (
+  SELECT m.qid, d.lang, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  GROUP BY m.qid, d.lang
+)
+SELECT qid, lang, n_docs FROM fc ORDER BY qid, lang"""
+
+
 def q_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact-substring dedup stats (Lee et al. ACL'22 shape):
     duplicated 8-gram starts and covered-token counts per doc."""
@@ -1588,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "facet_counts": q_facet_counts,
         "facet_counts_serving": q_facet_counts_serving,
+        "facet_counts_and": q_facet_counts_and,
         "ngram_spans": q_ngram_spans,
     }
 
@@ -1615,5 +1659,6 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_sql(),
         "facet_counts": _facet_sql(),
         "facet_counts_serving": _facet_sql(),
+        "facet_counts_and": _facet_and_sql(),
         "ngram_spans": _ngram_sql(),
     }

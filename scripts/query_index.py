@@ -48,6 +48,9 @@ def main() -> None:
     p.add_argument("--facets", default=None, metavar="COL:FILE",
                    help="serving mode: write per-query match-set facet "
                         "counts over COL to FILE (facet sidecar required)")
+    p.add_argument("--facets-mode", choices=["or", "and"], default="or",
+                   help="facet match set: any query term (or) / every "
+                        "query term (and, drill-down)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,7 +131,7 @@ def main() -> None:
         if ":" not in args.facets:
             p.error("--facets expects COL:FILE")
         col, path = args.facets.split(":", 1)
-        counts = reader.facet_counts_local(queries, col)
+        counts = reader.facet_counts_local(queries, col, mode=args.facets_mode)
         with open(path, "w") as f:
             for qid, value, n in sorted(counts):
                 f.write(f"{qid}\t{value}\t{n}\n")

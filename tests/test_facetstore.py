@@ -119,3 +119,86 @@ def test_sharded_facets_equal_monolith(spark, tmp_path):
     shard = sorted(ShardedReader(spark, dirs).facet_counts_local(queries, "lang"))
     assert shard == mono
     assert any(q == "1" for q, _, _ in mono)  # non-trivial match sets
+
+
+def test_serving_and_facets_equal_operator(spark, tmp_path):
+    """mode='and' == facet_counts over the CONJUNCTIVE match set, with an
+    OOV-term query (empty conjunction) and a single-term query (AND==OR)."""
+    from knowledgeir_spark.functions.text import tokenize_simple_expr
+    from knowledgeir_spark.index.facetstore import write_facet_store
+    from knowledgeir_spark.index.query import IndexReader
+    from knowledgeir_spark.operators.facets import facet_counts
+
+    rows = [
+        (i, f"alpha w{i} " + ("beta shared " if i % 3 == 0 else "gamma "),
+         ["en", "de", "fr"][i % 3])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    idx = _mini_index(spark, tmp_path, docs.select("doc_id", "text"))
+    write_facet_store(docs, idx, ["lang"])
+    reader = IndexReader(spark, idx)
+
+    queries = [("1", "alpha beta"), ("2", "beta shared"), ("3", "alpha zzmissing"),
+               ("4", "gamma"), ("5", "beta gamma")]
+    got = sorted(reader.facet_counts_local(queries, "lang", mode="and"))
+
+    qdf = spark.createDataFrame(
+        [(q, t) for q, text in queries for t in set(text.split())],
+        "qid string, term string",
+    )
+    qn = qdf.groupBy("qid").count().withColumnRenamed("count", "n_terms")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize_simple_expr(F.col("text"))).alias("term")
+    ).distinct()
+    matched = (
+        tok.join(qdf, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("k"))
+        .join(qn, "qid")
+        .filter(F.col("k") == F.col("n_terms"))
+        .select("qid", "doc_id")
+    )
+    want = sorted(
+        (r["qid"], r["facet"], r["n_docs"])
+        for r in facet_counts(matched, docs, "lang").collect()
+    )
+    assert got == want
+    assert not any(q == "3" for q, _, _ in got)   # OOV term -> empty AND set
+    assert any(q == "1" for q, _, _ in got)       # true conjunction fires
+    # AND of disjoint terms (beta docs are i%3==0, gamma docs the rest)
+    assert not any(q == "5" for q, _, _ in got)
+
+    # single-term query: AND == OR by definition
+    one = [("9", "gamma")]
+    assert reader.facet_counts_local(one, "lang", mode="and") == \
+        reader.facet_counts_local(one, "lang", mode="or")
+
+
+def test_sharded_and_facets_equal_monolith(spark, tmp_path):
+    from knowledgeir_spark.index.facetstore import write_facet_store
+    from knowledgeir_spark.index.query import IndexReader, ShardedReader
+
+    rows = [
+        (i, f"alpha w{i} " + ("beta " if i % 2 == 0 else "gamma "),
+         ["en", "de", "fr"][i % 3])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    mono_idx = _mini_index(spark, tmp_path / "mono", docs.select("doc_id", "text"))
+    write_facet_store(docs, mono_idx, ["lang"])
+    dirs = []
+    for i, part in enumerate(
+        [docs.filter("doc_id < 15"), docs.filter("doc_id >= 15")]
+    ):
+        d = _mini_index(spark, tmp_path / f"s{i}", part.select("doc_id", "text"))
+        write_facet_store(part, d, ["lang"])
+        dirs.append(d)
+    queries = [("1", "alpha beta"), ("2", "gamma alpha"), ("3", "alpha zz")]
+    mono = sorted(
+        IndexReader(spark, mono_idx).facet_counts_local(queries, "lang", "and")
+    )
+    shard = sorted(
+        ShardedReader(spark, dirs).facet_counts_local(queries, "lang", "and")
+    )
+    assert shard == mono and mono
