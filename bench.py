@@ -886,6 +886,7 @@ def main() -> None:
     for name in (
         "spell_correct", "bm25f_topk", "snippets",
         "bool_and_topk", "phrase_topk", "facet_counts_serving",
+        "facet_counts_and",
     ):
         sec, ev, _ = _timed_leg(
             lambda: parity_web.queries()[name](spark, SF_DIR).collect(), n_leg
