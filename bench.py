@@ -883,14 +883,16 @@ def main() -> None:
     from knowledgeir_spark import parity_web
 
     web_legs: dict[str, dict] = {}
-    for name in (
-        "spell_correct", "bm25f_topk", "snippets",
-        "bool_and_topk", "phrase_topk", "facet_counts_serving",
-        "facet_counts_and",
+    for name, fn in (
+        ("spell_correct", parity_web.q_spell_correct),
+        ("bm25f_topk", parity_web.q_bm25f_topk),
+        ("snippets", parity_web.q_snippets),
+        ("bool_and_topk", parity_web.q_bool_and_topk),
+        ("phrase_topk", parity_web.q_phrase_topk),
+        ("facet_counts_serving", parity_web.q_facet_counts_serving),
+        ("facet_counts_and", parity_web.q_facet_counts_and),
     ):
-        sec, ev, _ = _timed_leg(
-            lambda: parity_web.queries()[name](spark, SF_DIR).collect(), n_leg
-        )
+        sec, ev, _ = _timed_leg(lambda: fn(spark, SF_DIR).collect(), n_leg)
         web_legs[name] = {"sec": sec, **ev}
     extras["web_serving_legs"] = web_legs
     extras["leg_evidence"] = leg_evidence

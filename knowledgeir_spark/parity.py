@@ -190,6 +190,55 @@ def _rank_and_quantize(scored: DataFrame, score_col: str = "score") -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# consolidation helpers (round 5): the driver's oracle check budgets 50
+# queries; near-duplicate physical-plan variants of one logical spec are
+# unioned into a single registry row under a `variant` discriminator so the
+# whole suite stays inside the budget with every operator still DuckDB-gated.
+# Numeric columns are cast long on the Spark side and ::BIGINT on the SQL
+# side so Spark union coercion and DuckDB type unification cannot disagree.
+
+TREC_COLS: list[tuple[str, str]] = [
+    ("qid", "long"), ("doc_id", "long"), ("rank", "long"), ("score_e6", "long"),
+]
+
+
+def variant_union(
+    branches: list[tuple[str, DataFrame]],
+    cols: list[tuple[str, str]],
+    order_cols: list[str],
+) -> DataFrame:
+    out = None
+    for name, df in branches:
+        b = df.select(
+            F.lit(name).alias("variant"),
+            *[
+                (F.col(c).cast("long") if t == "long"
+                 else F.col(c).cast("string")).alias(c)
+                for c, t in cols
+            ],
+        )
+        out = b if out is None else out.unionByName(b)
+    return out.orderBy("variant", *order_cols)
+
+
+def variant_union_sql(
+    branches: list[tuple[str, str]],
+    cols: list[tuple[str, str]],
+    order_cols: list[str],
+) -> str:
+    sel = ", ".join(
+        f"{c}::BIGINT AS {c}" if t == "long" else f"{c}::VARCHAR AS {c}"
+        for c, t in cols
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, {sel} FROM (\n{sql}\n) AS _v{i}"
+        for i, (name, sql) in enumerate(branches)
+    )
+    ob = ", ".join(["variant", *order_cols])
+    return f"SELECT * FROM (\n{parts}\n) AS _u ORDER BY {ob}"
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+W1: the flagship — reference-quirk BM25 top-20 per query."""
     matched, n, avgdl = _scored_matched(spark, sf_dir)
@@ -223,6 +272,18 @@ def q_coordinate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("tf") > 0).cast("long")).cast("double").alias("score")
     )
     return _rank_and_quantize(scored)
+
+
+def q_scored_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8+F6+W1 under one registry row: the tf_idf and coordinate rankings
+    (same matched frame, different scoring functions), variant-tagged."""
+    return variant_union(
+        [
+            ("tfidf", q_tfidf_topk(spark, sf_dir)),
+            ("coordinate", q_coordinate_topk(spark, sf_dir)),
+        ],
+        TREC_COLS, ["qid", "rank"],
+    )
 
 
 def q_lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,8 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "vocabulary": q_vocabulary,
         "bm25_topk": q_bm25_topk,
-        "tfidf_topk": q_tfidf_topk,
-        "coordinate_topk": q_coordinate_topk,
+        "scored_topk_variants": q_scored_topk_variants,
         "lang_doc_stats": q_lang_doc_stats,
         "dedup_exact": q_dedup_exact,
         "pricing_summary": q_pricing_summary,
@@ -450,8 +510,10 @@ ranked AS (
 SELECT term, total_tf, rank FROM ranked WHERE rank <= 100 ORDER BY rank""",
         "vocabulary": f"WITH {_SQL_TOK} SELECT DISTINCT term FROM tf ORDER BY term",
         "bm25_topk": _bm25_sql(),
-        "tfidf_topk": _tfidf_sql(),
-        "coordinate_topk": _coordinate_sql(),
+        "scored_topk_variants": variant_union_sql(
+            [("tfidf", _tfidf_sql()), ("coordinate", _coordinate_sql())],
+            TREC_COLS, ["qid", "rank"],
+        ),
         "lang_doc_stats": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang ORDER BY lang""",

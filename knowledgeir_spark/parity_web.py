@@ -1608,6 +1608,93 @@ LEFT JOIN cov c USING (doc_id)
 ORDER BY t.doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# round-5 consolidated rows (see parity.variant_union docstring): plan
+# variants of one logical spec share a registry slot so the whole suite
+# fits the driver's 50-query oracle budget.
+
+_ANN_COLS = [
+    ("q_id", "long"), ("vec_id", "long"), ("rank", "long"), ("cos_e6", "long"),
+]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ANN paths under one row: brute-force cosine (exact
+    baseline), random-hyperplane LSH (deterministic planes, oracle replays
+    the identical pipeline), and IVF (deterministic k-means, nprobe-pruned)."""
+    from .parity import variant_union
+    from .parity_ext import q_embedding_topk, q_rp_lsh_ann
+
+    return variant_union(
+        [
+            ("brute", q_embedding_topk(spark, sf_dir)),
+            ("rp_lsh", q_rp_lsh_ann(spark, sf_dir)),
+            ("ivf", q_ivf_ann(spark, sf_dir)),
+        ],
+        _ANN_COLS, ["q_id", "rank"],
+    )
+
+
+_FACET_COLS = [("qid", "long"), ("lang", "string"), ("n_docs", "long")]
+
+
+def q_facet_counts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three facet paths under one row: distributed Spark aggregation
+    over the OR match set, the serving facet-sidecar path (same OR spec,
+    different physical plan), and the serving AND-mode drill-down."""
+    from .parity import variant_union
+
+    return variant_union(
+        [
+            ("or_spark", q_facet_counts(spark, sf_dir)),
+            ("or_serving", q_facet_counts_serving(spark, sf_dir)),
+            ("and_serving", q_facet_counts_and(spark, sf_dir)),
+        ],
+        _FACET_COLS, ["qid", "lang"],
+    )
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean serving under one row: conjunctive (AND) and AND-NOT."""
+    from .parity import TREC_COLS, variant_union
+
+    return variant_union(
+        [
+            ("and", q_bool_and_topk(spark, sf_dir)),
+            ("andnot", q_bool_andnot_topk(spark, sf_dir)),
+        ],
+        TREC_COLS, ["qid", "rank"],
+    )
+
+
+def q_phrase_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase serving under one row: docstore-verified and
+    positional-store-verified paths (same spec, different physical plan)."""
+    from .parity import TREC_COLS, variant_union
+
+    return variant_union(
+        [
+            ("docstore", q_phrase_topk(spark, sf_dir)),
+            ("positions", q_phrase_positional_topk(spark, sf_dir)),
+        ],
+        TREC_COLS, ["qid", "rank"],
+    )
+
+
+def q_bm25f_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25F under one row: title/body and title/body/anchor
+    (aggregated in-link anchor text as a third field)."""
+    from .parity import TREC_COLS, variant_union
+
+    return variant_union(
+        [
+            ("title_body", q_bm25f_topk(spark, sf_dir)),
+            ("anchor", q_anchor_bm25f(spark, sf_dir)),
+        ],
+        TREC_COLS, ["qid", "rank"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_host_stats": q_url_host_stats,
@@ -1615,50 +1702,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "sdm_bigrams": q_sdm_bigrams,
         "sdm_rerank": q_sdm_rerank,
-        "ivf_ann": q_ivf_ann,
+        "ann_topk": q_ann_topk,
         "spell_correct": q_spell_correct,
-        "bm25f_topk": q_bm25f_topk,
+        "bm25f_variants": q_bm25f_variants,
         "snippets": q_snippets,
         "autocomplete": q_autocomplete,
-        "anchor_bm25f": q_anchor_bm25f,
         "c4_clean": q_c4_clean,
         "pii_scrub": q_pii_scrub,
         "host_collapse": q_host_collapse,
-        "bool_and_topk": q_bool_and_topk,
-        "bool_andnot_topk": q_bool_andnot_topk,
-        "phrase_topk": q_phrase_topk,
-        "phrase_positional_topk": q_phrase_positional_topk,
+        "bool_topk": q_bool_topk,
+        "phrase_topk": q_phrase_topk_all,
         "rrf_hybrid": q_rrf_hybrid,
-        "facet_counts": q_facet_counts,
-        "facet_counts_serving": q_facet_counts_serving,
-        "facet_counts_and": q_facet_counts_and,
+        "facet_counts": q_facet_counts_all,
         "ngram_spans": q_ngram_spans,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from .parity import TREC_COLS, variant_union_sql
+    from .parity_ext import _EMB_TOPK_SQL, _rp_lsh_sql
+
     return {
         "url_host_stats": _HOST_STATS_SQL,
         "url_dedup": _URL_DEDUP_SQL,
         "dup_clusters": _dup_clusters_sql(),
         "sdm_bigrams": _sdm_sql(),
         "sdm_rerank": _sdm_rerank_sql(),
-        "ivf_ann": _ivf_sql(),
+        "ann_topk": variant_union_sql(
+            [
+                ("brute", _EMB_TOPK_SQL),
+                ("rp_lsh", _rp_lsh_sql()),
+                ("ivf", _ivf_sql()),
+            ],
+            _ANN_COLS, ["q_id", "rank"],
+        ),
         "spell_correct": _SPELL_SQL,
-        "bm25f_topk": _bm25f_sql(),
+        "bm25f_variants": variant_union_sql(
+            [("title_body", _bm25f_sql()), ("anchor", _anchor_bm25f_sql())],
+            TREC_COLS, ["qid", "rank"],
+        ),
         "snippets": _snippets_sql(),
         "autocomplete": _AUTOCOMPLETE_SQL,
-        "anchor_bm25f": _anchor_bm25f_sql(),
         "c4_clean": _C4_CLEAN_SQL,
         "pii_scrub": _pii_sql(),
         "host_collapse": _host_collapse_sql(),
-        "bool_and_topk": _bool_and_sql(),
-        "bool_andnot_topk": _bool_and_sql(exclude=True),
-        "phrase_topk": _phrase_sql(),
-        "phrase_positional_topk": _phrase_sql(),
+        "bool_topk": variant_union_sql(
+            [("and", _bool_and_sql()), ("andnot", _bool_and_sql(exclude=True))],
+            TREC_COLS, ["qid", "rank"],
+        ),
+        "phrase_topk": variant_union_sql(
+            [("docstore", _phrase_sql()), ("positions", _phrase_sql())],
+            TREC_COLS, ["qid", "rank"],
+        ),
         "rrf_hybrid": _rrf_sql(),
-        "facet_counts": _facet_sql(),
-        "facet_counts_serving": _facet_sql(),
-        "facet_counts_and": _facet_and_sql(),
+        "facet_counts": variant_union_sql(
+            [
+                ("or_spark", _facet_sql()),
+                ("or_serving", _facet_sql()),
+                ("and_serving", _facet_and_sql()),
+            ],
+            _FACET_COLS, ["qid", "lang"],
+        ),
         "ngram_spans": _ngram_sql(),
     }

@@ -64,18 +64,17 @@ def test_all_queries_have_oracles(entry_mod):
 
 @pytest.mark.parametrize("name", [
     "doc_term_tf", "term_df", "corpus_stats", "top_terms", "vocabulary",
-    "bm25_topk", "tfidf_topk", "coordinate_topk", "lang_doc_stats",
+    "bm25_topk", "scored_topk_variants", "lang_doc_stats",
     "dedup_exact", "pricing_summary", "top_customers",
     "customers_without_orders", "events_histogram", "event_type_daily",
-    "minhash_pairs", "simhash_docs", "embedding_topk", "quality_features",
-    "token_counts", "langid", "rm3_expansion", "ndcg_eval", "kfold_counts",
-    "bm25_topk_indexed", "user_sessions", "fingerprint_pairs", "rp_lsh_ann",
-    "sig_test", "boe_emb_bins",
-    "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ivf_ann",
-    "sdm_rerank", "spell_correct", "bm25f_topk", "snippets", "autocomplete",
-    "anchor_bm25f", "c4_clean", "pii_scrub", "host_collapse",
-    "bool_and_topk", "bool_andnot_topk", "phrase_topk",
-    "phrase_positional_topk",
+    "neardup_pairs", "simhash_docs", "text_features",
+    "rm3_expansion", "ndcg_eval", "kfold_counts",
+    "bm25_index_variants", "user_sessions", "decontam",
+    "sig_test", "boe_emb_bins", "letor_lm",
+    "url_host_stats", "url_dedup", "dup_clusters", "sdm_bigrams", "ann_topk",
+    "sdm_rerank", "spell_correct", "bm25f_variants", "snippets",
+    "autocomplete", "c4_clean", "pii_scrub", "host_collapse",
+    "bool_topk", "phrase_topk",
 ])
 def test_query_matches_oracle(spark, entry_mod, ddb, name):
     qfn = entry_mod.queries()[name]
