@@ -52,9 +52,14 @@ def write_facet_store(
     """
     root = os.path.join(index_dir, "facets")
     for col in facet_cols:
+        # NULL facet values are excluded everywhere (value list, code join,
+        # counts) — a missing attribute is not a facet bucket, and the
+        # distributed operator (operators/facets.facet_counts) applies the
+        # same rule so the two facet paths agree.
         vals = [
             r["v"]
             for r in docs.select(F.col(col).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
             .distinct()
             .orderBy("v")
             .limit(max_cardinality + 1)

@@ -1258,7 +1258,13 @@ class IndexReader:
         essential-term count, cache_hit) plus the decode cache's hit/miss
         counters and fill level.  For operators watching whether pruning
         and caching actually engage on their workload — the same numbers
-        the bench and the skip-rate tests read."""
+        the bench and the skip-rate tests read.
+
+        Both stat dicts are cleared at the start of each search_local call,
+        so the numbers always describe the most recent local search only.
+        The distributed search() path does NOT populate them — its scoring
+        runs on executors, where these module globals are invisible to the
+        driver."""
         return {
             **dict(_LAST_DENSE_STATS),
             **dict(_LAST_BOOL_STATS),
@@ -1329,6 +1335,11 @@ class IndexReader:
         (AND-NOT; requires mode="and")."""
         import pyarrow.dataset as ds
 
+        # reset both introspection dicts so last_query_stats() reflects
+        # THIS call only — an OR query must not report a previous AND
+        # query's bool_* counters (and vice versa)
+        _LAST_DENSE_STATS.clear()
+        _LAST_BOOL_STATS.clear()
         excl_map = {str(q): set(ts) for q, ts in (exclude or {}).items()}
         if excl_map and mode != "and":
             raise ValueError("exclude requires mode='and'")
@@ -1445,7 +1456,15 @@ class IndexReader:
                 else "docstore"
             )
         phrases = {str(q): tok(text) for q, text in queries}
-        live = [(q, t) for q, t in queries if phrases[str(q)]]
+        # phase-1 conjunction must run over the DOC-TOKENIZED phrase, not
+        # the raw text: search_local's query tokenizer is a whitespace
+        # split, so a raw stopword/punctuation token would become a
+        # required AND term with df=0 and silently empty the result even
+        # when docs match the indexed phrase.
+        live = [
+            (q, " ".join(phrases[str(q)])) for q, _t in queries
+            if phrases[str(q)]
+        ]
         cand_rows = self.search_local(
             live, k=k, model=model, mode="and", _all_matches=True
         )

@@ -37,12 +37,17 @@ def facet_counts(
 
     matched: (qid, doc_id[, ...]) match set (duplicates collapsed here).
     docs:    document table carrying `facet_col` keyed by doc_id.
-    Returns (qid, facet, n_docs).
+    Returns (qid, facet, n_docs).  Docs with a NULL facet value are not
+    counted (a missing attribute is not a facet bucket) — the same rule the
+    serving sidecar (index/facetstore.write_facet_store) applies, so the
+    distributed and serving paths agree.
     """
     m = matched.select(
         F.col(qid_col).alias("qid"), F.col(doc_col).alias("doc_id")
     ).distinct()
-    d = docs.select(F.col(doc_col).alias("doc_id"), F.col(facet_col).alias("facet"))
+    d = docs.select(
+        F.col(doc_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    ).where(F.col("facet").isNotNull())
     return (
         m.join(d, "doc_id")
         .groupBy("qid", "facet")

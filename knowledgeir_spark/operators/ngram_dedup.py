@@ -98,24 +98,35 @@ def repeated_ngram_stats(
         .select("key")
     )
     dup_starts = starts.join(dup_keys, "key", "left_semi")
-    per_doc_ngrams = dup_starts.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_ngrams")
-    )
-    covered = (
+    # single aggregation over the exploded coverage frame: dup-start count
+    # and covered-token count in one pass (distinct starts / distinct
+    # positions per doc)
+    agg = (
         dup_starts.select(
             "doc_id",
+            "start",
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + (n - 1))
             ).alias("pos"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup_tokens"))
+        .agg(
+            F.count_distinct("start").alias("n_dup_ngrams"),
+            F.count_distinct("pos").alias("n_dup_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize the doc-sized aggregate through the cached token-sized
+    # frame, then free the big cache immediately — long-lived sessions must
+    # not accumulate ~|corpus tokens| of cached rows per call.  The returned
+    # frame reads the (|docs|-row) agg cache, which Spark evicts under
+    # memory pressure; callers holding many results may agg.unpersist() via
+    # the returned plan if they need to reclaim it sooner.
+    agg.count()
+    starts.unpersist()
     return (
         toks.select("doc_id", "n_tokens")
-        .join(per_doc_ngrams, "doc_id", "left")
-        .join(covered, "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

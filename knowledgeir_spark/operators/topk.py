@@ -89,5 +89,8 @@ def collapse_per_key(
         .drop("_kr")
         .withColumn("rank", F.row_number().over(w_q))
         .filter(F.col("rank") <= k)
-        .orderBy(F.col(qid_col).cast("long"), "rank")
+        # numeric-first qid order (matches the TREC dumps), but keep the raw
+        # qid as a tie-break so non-numeric qids (which cast to NULL) still
+        # get a deterministic output order instead of rank-only ties
+        .orderBy(F.col(qid_col).cast("long"), F.col(qid_col), "rank")
     )

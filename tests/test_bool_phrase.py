@@ -216,3 +216,46 @@ def test_phrase_repeated_term_adjacency(spark, bool_index):
             if " data data " in " " + " ".join(ts) + " "
         }
         assert got == exp_all, verify
+
+
+def test_phrase_spec_tokenizer_stopwords(spark, tmp_path):
+    """A phrase with stopwords/punctuation on a 'spec'-tokenizer index must
+    build its phase-1 conjunction from the DOC-TOKENIZED phrase: the raw
+    whitespace tokens ('of', 'the') are not indexed (df=0) and would
+    silently empty the result even though docs match the indexed stream."""
+    idx_dir = str(tmp_path / "spec_idx")
+    texts = {
+        0: "The state of the art, method works",   # -> state art method works
+        1: "state art is adjacent here",            # -> state art adjacent
+        2: "state and also art",                    # -> state also art (no match)
+        3: "method works without either term",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    cfg = IndexConfig(block_size=16, salt_range=16, n_buckets=2, tokenizer="spec")
+    build_index(spark, docs, idx_dir, cfg, input_token="spec4")
+    write_docstore(docs, idx_dir)
+    r = IndexReader(spark, idx_dir)
+    res = r.search_phrase([("1", "State of the art.")], k=10)
+    assert {d for (_, d, _s, _rk) in res} == {0, 1}
+    # positional store path agrees on the same spec
+    from knowledgeir_spark.index.positions import write_positions_store
+
+    write_positions_store(docs, idx_dir)
+    via_pos = r.search_phrase(
+        [("1", "State of the art.")], k=10, verify="positions"
+    )
+    assert via_pos == res
+
+
+def test_last_query_stats_reset_between_modes(spark, bool_index):
+    """An OR query after an AND query must not report stale bool_*
+    counters: both stat dicts are cleared at the start of each
+    search_local call."""
+    r = IndexReader(spark, bool_index["idx_dir"])
+    r.search_local([("1", f"the {RARE}")], k=5, mode="and")
+    assert any(k.startswith("bool_") for k in r.last_query_stats())
+    r.search_local([("1", "the data")], k=5)
+    st = r.last_query_stats()
+    assert not any(k.startswith("bool_") for k in st)

@@ -202,3 +202,40 @@ def test_sharded_and_facets_equal_monolith(spark, tmp_path):
         ShardedReader(spark, dirs).facet_counts_local(queries, "lang", "and")
     )
     assert shard == mono and mono
+
+
+def test_null_facet_values_agree(spark, tmp_path):
+    """Docs with a NULL facet value are counted by NEITHER path: the
+    sidecar excludes them from the value list and code join, and the
+    distributed operator filters them before aggregation — so the two
+    facet paths agree on corpora with missing attributes."""
+    from knowledgeir_spark.functions.text import tokenize_simple_expr
+    from knowledgeir_spark.index.facetstore import FacetStore, write_facet_store
+    from knowledgeir_spark.index.query import IndexReader
+    from knowledgeir_spark.operators.facets import facet_counts
+
+    rows = [
+        (i, f"alpha w{i}", ["en", None, "fr"][i % 3]) for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    idx = _mini_index(spark, tmp_path, docs.select("doc_id", "text"))
+    write_facet_store(docs, idx, ["lang"])
+    fs = FacetStore(idx)
+    _, values = fs.facet("lang")
+    assert values == ["en", "fr"]  # NULL consumed no code slot
+
+    queries = [("1", "alpha")]
+    got = sorted(IndexReader(spark, idx).facet_counts_local(queries, "lang"))
+    matched = (
+        docs.select(
+            "doc_id", F.explode(tokenize_simple_expr(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") == "alpha")
+        .select(F.lit("1").alias("qid"), "doc_id")
+    )
+    want = sorted(
+        (r["qid"], r["facet"], r["n_docs"])
+        for r in facet_counts(matched, docs, "lang").collect()
+    )
+    assert got == want
+    assert {v for _, v, _ in got} == {"en", "fr"}
