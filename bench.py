@@ -897,7 +897,95 @@ def main() -> None:
     extras["web_serving_legs"] = web_legs
     extras["leg_evidence"] = leg_evidence
 
+    # 6. anchor hot-dst skew probe: one destination with planted in-links
+    # at two degrees (10^6 and 8*10^6 — real anchor graphs are power-law)
+    # + 10^6 background edges over 100k dsts.  Evidence that the DEFAULT
+    # single-window cap has no hot-key straggler: Catalyst compiles the
+    # row_number cap to a map-side PARTIAL WindowGroupLimit (asserted on
+    # the live plan here and in tests/test_plans.py), so wall tracks TOTAL
+    # rows, not the hot key's degree; the explicit salted two-phase cap is
+    # measured alongside for comparison (it pays an extra shuffle).
+    # Cached on the anchor-op fingerprint.
+    if os.environ.get("KIR_BENCH_ANCHOR_SKEW", "1") == "1":
+        afp = _code_fingerprint(("knowledgeir_spark/operators/anchor.py",))
+        akey = os.path.join(CACHE, f"anchor_skew_{afp}.json")
+        if os.path.exists(akey):
+            with open(akey) as f:
+                leg = json.load(f)
+            leg["cached"] = True
+        else:
+            from pyspark.sql import functions as F
+
+            from knowledgeir_spark.operators.anchor import aggregate_anchor_text
+
+            def _links(hot_deg: int):
+                hot = spark.range(hot_deg).select(
+                    F.col("id").alias("src"),
+                    F.lit(0).cast("long").alias("dst"),
+                    F.lit(1).alias("link_id"),
+                    F.concat(F.lit("hot anchor "), F.col("id")).alias(
+                        "anchor_text"
+                    ),
+                )
+                bg = spark.range(1_000_000).select(
+                    F.col("id").alias("src"),
+                    (F.col("id") % 100_000 + 1).alias("dst"),
+                    F.lit(1).alias("link_id"),
+                    F.concat(F.lit("bg "), F.col("id")).alias("anchor_text"),
+                )
+                return hot.unionByName(bg)
+
+            leg = {"bg_edges": 1_000_000, "max_inlinks": 1000, "legs": {}}
+            for hot_deg in (1_000_000, 8_000_000):
+                links = _links(hot_deg)
+                row = {}
+                for label, buckets in (("single_window", 1), ("salted_32", 32)):
+                    t0 = time.time()
+                    aggregate_anchor_text(
+                        links, max_inlinks=1000, salt_buckets=buckets
+                    ).count()
+                    row[label] = round(time.time() - t0, 2)
+                leg["legs"][f"hot_{hot_deg}"] = row
+            plan = (
+                aggregate_anchor_text(_links(1000), max_inlinks=1000)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            leg["partial_window_group_limit_in_plan"] = (
+                "WindowGroupLimit" in plan and "Partial" in plan
+            )
+            with open(akey, "w") as f:
+                json.dump(leg, f)
+        extras["anchor_skew"] = leg
+
     spark.stop()
+
+    # Bulky evidence goes to a file artifact; the FINAL stdout line stays
+    # compact so the driver's tail-capture always parses it (round-4's
+    # BENCH_r04.json had parsed=null because the one-line JSON outgrew the
+    # captured tail).
+    bulky = [
+        k for k in (
+            "leg_evidence", "codec_cost", "dedup_scale", "ngram_span_scale",
+            "serving_block_skip", "web_serving_legs", "scaling_2_8_dram_bound",
+        ) if k in extras
+    ]
+    evidence = {k: extras.pop(k) for k in bulky}
+    sc = extras.get("scaling")
+    if sc and "efficiency" in sc:
+        evidence["scaling_full"] = sc
+        extras["scaling"] = {
+            k: sc[k] for k in (
+                "cpus_low", "cpus_high", "n_docs", "build_sec_low",
+                "build_sec_high", "docs_per_sec_low", "docs_per_sec_high",
+                "efficiency",
+            ) if k in sc
+        }
+        if sc.get("cached"):
+            extras["scaling"]["cached"] = True
+    ev_path = os.path.join(REPO, "BENCH", "evidence_latest.json")
+    os.makedirs(os.path.dirname(ev_path), exist_ok=True)
+    with open(ev_path, "w") as f:
+        json.dump(evidence, f, indent=1)
 
     out = {
         "metric": "kir_spark_headline_suite",
@@ -906,6 +994,7 @@ def main() -> None:
         "queries": results,
         "sf": float(SF),
         **extras,
+        "evidence_file": "BENCH/evidence_latest.json",
     }
     print(json.dumps(out))
 

@@ -30,11 +30,15 @@ Plan shape / 100 TB notes:
 Measured recall (scripts/ivf_recall.py -> BENCH/ivf_recall.json, 50
 queries, recall@10 vs brute force): on the near-uniform testdata vectors
 — ANN's worst case — recall tracks the scored corpus fraction (0.54 at
-the nprobe/k = 2/8 defaults scoring ~25%; 0.91 at 6/8 scoring ~75%); on
-clustered vectors (tight 16-cluster Gaussian mixture, the shape real
-embedding spaces have) recall is 1.0 probing a single bucket of 16.
-`nprobe` is the recall/compute knob; pick it from the grid artifact for
-your data's cluster structure.
+nprobe/k = 2/8 scoring ~25%; 0.91 at 6/8 scoring ~75%); on clustered
+vectors (tight 16-cluster Gaussian mixture, the shape real embedding
+spaces have) recall is 1.0 probing a single bucket of 16.  `nprobe` is
+the recall/compute knob.  The DEFAULT operating point resolves against
+the measured worst-case grid via ``target_recall`` (default 0.9): at
+k_clusters=8 that is nprobe=6 (measured 0.912); for configurations the
+grid does not cover it falls back to probing every bucket (exact, recall
+1.0) rather than silently shipping an unmeasured low-recall default —
+pass an explicit ``nprobe`` to trade recall for compute deliberately.
 
 No reference counterpart (KnowledgeIR ships embeddings to external tools);
 engine addition for the training-data pipeline.
@@ -121,22 +125,49 @@ def ivf_build(
     return centroids, assigned
 
 
+# measured recall@10 per (k_clusters: [(nprobe, recall)]) on the
+# near-uniform sf0.01 embeddings — ANN's worst case (scripts/ivf_recall.py
+# -> BENCH/ivf_recall.json; re-run the script after changing the quantizer)
+_MEASURED_RECALL: dict[int, list[tuple[int, float]]] = {
+    8: [(1, 0.368), (2, 0.542), (3, 0.666), (4, 0.754), (5, 0.848),
+        (6, 0.912)],
+    16: [(2, 0.492), (4, 0.668), (6, 0.780), (8, 0.848)],
+}
+
+
+def resolve_nprobe(k_clusters: int, target_recall: float) -> int:
+    """Smallest measured nprobe meeting ``target_recall`` on the shipped
+    worst-case grid; unmeasured configurations (or targets above the grid
+    ceiling) fall back to probing every bucket — exact, never silently
+    low-recall."""
+    for np_, rec in _MEASURED_RECALL.get(k_clusters, []):
+        if rec >= target_recall:
+            return np_
+    return k_clusters
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k_clusters: int = 8,
     iters: int = 3,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """IVF-probed cosine top-k: (q_id, vec_id, cos, rank).
 
     Each query scores only the vectors assigned to its `nprobe` nearest
-    coarse buckets (ties on probe distance -> lowest cid)."""
+    coarse buckets (ties on probe distance -> lowest cid).  When ``nprobe``
+    is None (the default) it resolves via ``resolve_nprobe`` to the
+    smallest measured operating point with worst-case recall@10 >=
+    ``target_recall`` (default 0.9) — defaults are part of the product."""
+    if nprobe is None:
+        nprobe = resolve_nprobe(k_clusters, target_recall)
     centroids, assigned = ivf_build(
         vectors, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -216,3 +216,20 @@ def test_snippets_restrict_to_candidates_and_broadcast_queries(spark):
     plan = _plan(best_snippets(docs, q, cand))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_anchor_cap_is_map_side_group_limit(spark):
+    """The anchor max_inlinks cap must compile to a PARTIAL (map-side)
+    WindowGroupLimit: each map task keeps <= max_inlinks rows per dst
+    BEFORE the exchange, so a 10^6-inlink hot destination never funnels
+    its full degree through one window task (measured in the bench
+    anchor_skew probe)."""
+    from knowledgeir_spark.operators.anchor import aggregate_anchor_text
+
+    links = spark.createDataFrame(
+        [(1, 0, 1, "a"), (2, 0, 1, "b")],
+        "src long, dst long, link_id int, anchor_text string",
+    )
+    plan = _plan(aggregate_anchor_text(links, max_inlinks=10))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan

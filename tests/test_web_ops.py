@@ -542,3 +542,55 @@ def test_collapse_per_key_diversifies(spark):
     out = collapse_per_key(scored, "host", m=2, k=10).collect()
     assert [(r["doc_id"], r["rank"]) for r in out] == [
         (10, 1), (11, 2), (20, 3)]
+
+
+def test_anchor_salted_cap_equals_single_window(spark):
+    """The two-phase salted cap must be result-identical to the exact
+    single-window cap on a skewed graph (one hot dst)."""
+    from knowledgeir_spark.operators.anchor import aggregate_anchor_text
+
+    rows = [(s, 0 if s % 4 else s % 7 + 1, 1, f"a{s}") for s in range(400)]
+    links = spark.createDataFrame(
+        rows, "src long, dst long, link_id int, anchor_text string"
+    )
+    salted = {
+        r["doc_id"]: (r["anchor"], r["n_inlinks"])
+        for r in aggregate_anchor_text(
+            links, max_inlinks=10, salt_buckets=8
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: (r["anchor"], r["n_inlinks"])
+        for r in aggregate_anchor_text(
+            links, max_inlinks=10, salt_buckets=1
+        ).collect()
+    }
+    assert salted == exact
+    assert exact[0][1] == 300  # the hot dst's true degree survives the cap
+
+
+def test_ivf_default_operating_point(spark):
+    """The DEFAULT ivf_topk call (no nprobe) must hit >= 0.9 recall@10 even
+    on the near-uniform worst-case vectors — the round-4 lesson that
+    defaults are part of the product.  Mirrors the sf0.01 grid row
+    (k_clusters=8, nprobe resolved to 6, measured 0.912)."""
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.operators.ivf import ivf_topk, resolve_nprobe
+    from knowledgeir_spark.operators.similarity import brute_force_topk
+
+    assert resolve_nprobe(8, 0.9) == 6
+    assert resolve_nprobe(16, 0.9) == 16  # above grid ceiling -> exact
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk(emb, qs, k_clusters=8, iters=3, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"default IVF recall@10 = {recall:.3f}"
