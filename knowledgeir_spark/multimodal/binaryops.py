@@ -9,12 +9,16 @@ STUBBED because image/audio libraries are not in this container:
   numpy — no external library needed): see _decode_wav / audio_features;
 - when Pillow is importable, real IMAGE decode (width/height) and bilinear
   resize are wired (import-try gate; tested where PIL exists, skipped
-  otherwise); video and compressed-audio codecs (ffmpeg/librosa) remain
-  stubbed;
+  otherwise);
+- when ffprobe/ffmpeg are on PATH, real VIDEO probe (frame count / fps via
+  ffprobe) and compressed-audio decode (ffmpeg transcode to WAV piped into
+  the same numpy feature path) are wired (shutil.which gate, same
+  discipline as the PIL gate; tested where ffmpeg exists, skipped
+  otherwise);
 - otherwise media in the engine's deterministic FAKE container format
   (``FAKEIMG``/``FAKEVID``/``FAKEAUD`` headers, see _parse_fake) is decoded
   for real, and anything else raises NotImplementedError — a clearly marked
-  stub boundary, NOT silent garbage.
+  boundary (no decoder available), NOT silent garbage.
 
 Media table schema (the 100TB layout: media bytes stay opaque, metadata is
 columnar so pruning/filtering never touches the blobs):
@@ -40,7 +44,80 @@ try:  # real decoders, absent in this container
 except ImportError:
     _HAVE_PIL = False
 
+import shutil as _shutil
+
+_FFPROBE = _shutil.which("ffprobe")
+_FFMPEG = _shutil.which("ffmpeg")
+
 FAKE_MAGICS = (b"FAKEIMG", b"FAKEVID", b"FAKEAUD")
+
+
+def _ffprobe_streams(data: bytes) -> list[dict]:
+    """ffprobe the byte blob over stdin -> stream dicts.  Raises
+    NotImplementedError when ffprobe is absent or cannot parse the input
+    from a pipe (a few containers need seekable input — callers treat that
+    the same as 'no decoder')."""
+    import json as _json
+    import subprocess
+
+    if not _FFPROBE:
+        raise NotImplementedError("ffprobe not on PATH (gated decoder)")
+    p = subprocess.run(
+        [_FFPROBE, "-v", "error", "-count_packets", "-show_streams",
+         "-of", "json", "-"],
+        input=bytes(data), capture_output=True, check=False,
+    )
+    streams = []
+    if p.returncode == 0:
+        streams = _json.loads(p.stdout or b"{}").get("streams", [])
+    if not streams:
+        raise NotImplementedError(
+            f"ffprobe could not parse input: {p.stderr[:200]!r}"
+        )
+    return streams
+
+
+def _ffmpeg_to_wav(data: bytes) -> bytes:
+    """Transcode any ffmpeg-readable audio to 16-bit PCM WAV over pipes, so
+    compressed formats reuse the stdlib/_decode_wav feature path."""
+    import subprocess
+
+    if not _FFMPEG:
+        raise NotImplementedError("ffmpeg not on PATH (gated decoder)")
+    p = subprocess.run(
+        [_FFMPEG, "-v", "error", "-i", "-", "-acodec", "pcm_s16le",
+         "-f", "wav", "-"],
+        input=bytes(data), capture_output=True, check=False,
+    )
+    if p.returncode != 0 or not p.stdout:
+        raise NotImplementedError(
+            f"ffmpeg could not transcode input: {p.stderr[:200]!r}"
+        )
+    return p.stdout
+
+
+def _ffprobe_decode(data: bytes) -> dict:
+    """Gated real decode for video / compressed audio: first video stream
+    wins (kind VIDEO, dim_a = frames, dim_b = fps rounded); else first
+    audio stream (kind AUDIO, dim_a = samples, dim_b = rate)."""
+    streams = _ffprobe_streams(data)
+    vid = next((s for s in streams if s.get("codec_type") == "video"), None)
+    if vid is not None:
+        frames = int(vid.get("nb_read_packets") or vid.get("nb_frames") or 0)
+        num, _, den = (vid.get("avg_frame_rate") or "0/1").partition("/")
+        fps = round(int(num) / int(den)) if den and int(den) else 0
+        return {
+            "kind": "VIDEO", "dim_a": frames, "dim_b": fps,
+            "content_hash": hashlib.md5(bytes(data)).hexdigest(),
+        }
+    aud = next((s for s in streams if s.get("codec_type") == "audio"), None)
+    if aud is not None:
+        n, rate, _ch, _w, _x = _decode_wav(_ffmpeg_to_wav(data))
+        return {
+            "kind": "AUDIO", "dim_a": int(n), "dim_b": int(rate),
+            "content_hash": hashlib.md5(bytes(data)).hexdigest(),
+        }
+    raise NotImplementedError("no decodable stream (ffprobe)")
 
 
 def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
@@ -93,12 +170,12 @@ def _decode_one(data: bytes) -> dict:
     """-> {kind, width/height | frames/fps | audio frames/rate,
     content_hash}.  Real image formats decode through Pillow when
     importable (kind = 'IMAGE'); WAV audio decodes through the stdlib wave
-    module (kind = 'AUDIO' — no external library needed); the FAKE
-    container formats always decode; anything else is the explicit stub
-    boundary (NotImplementedError — video and compressed-audio codecs are
-    not in this container)."""
+    module (kind = 'AUDIO' — no external library needed); video and
+    compressed audio decode through ffprobe/ffmpeg when on PATH (kind =
+    'VIDEO'/'AUDIO'); the FAKE container formats always decode; anything
+    else raises NotImplementedError — no decoder available for it here."""
     if data is None or len(data) < 15:
-        raise NotImplementedError("real media decode requires PIL/ffmpeg (stubbed)")
+        raise NotImplementedError("media too short / no decoder available")
     head = bytes(data[:7])
     if head not in FAKE_MAGICS:
         if _is_wav(bytes(data)):
@@ -115,17 +192,19 @@ def _decode_one(data: bytes) -> dict:
             try:
                 with Image.open(io.BytesIO(bytes(data))) as img:
                     w, h = img.size
-            except Exception as exc:  # not an image PIL knows
-                raise NotImplementedError(
-                    f"undecodable media (PIL: {exc}); video/audio stubbed"
-                ) from exc
-            return {
-                "kind": "IMAGE",
-                "dim_a": int(w),
-                "dim_b": int(h),
-                "content_hash": hashlib.md5(bytes(data)).hexdigest(),
-            }
-        raise NotImplementedError("real media decode requires PIL/ffmpeg (stubbed)")
+                return {
+                    "kind": "IMAGE",
+                    "dim_a": int(w),
+                    "dim_b": int(h),
+                    "content_hash": hashlib.md5(bytes(data)).hexdigest(),
+                }
+            except Exception:  # not an image PIL knows; try ffprobe next
+                pass
+        if _FFPROBE:
+            return _ffprobe_decode(bytes(data))
+        raise NotImplementedError(
+            "no decoder available (PIL absent/unable, ffprobe not on PATH)"
+        )
     magic, a, b = _parse_fake(bytes(data))
     return {
         "kind": magic,
@@ -256,8 +335,9 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     FAKEAUD rows yield deterministic pseudo-features (payload-hash derived,
     duration from the header) so pipelines are testable without media
-    libraries; compressed formats (mp3/ogg/flac) raise NotImplementedError
-    at the explicit stub boundary."""
+    libraries; compressed formats (mp3/ogg/flac) transcode through ffmpeg
+    into the same numpy path when it is on PATH, and raise
+    NotImplementedError otherwise (no decoder available)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -299,9 +379,32 @@ def audio_features(media: DataFrame) -> DataFrame:
                             "peak": h[2] / 255.0,
                         }
                     )
+                elif _FFMPEG:
+                    n, rate, ch, _w, x = _decode_wav(_ffmpeg_to_wav(data))
+                    mono = (
+                        x.reshape(-1, ch).mean(axis=1) if ch > 1 and len(x) else x
+                    )
+                    if len(mono):
+                        rms = float(np.sqrt(np.mean(mono * mono)))
+                        peak = float(np.max(np.abs(mono)))
+                        zc = (
+                            float(np.mean(
+                                np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                            )) if len(mono) > 1 else 0.0
+                        )
+                    else:
+                        rms = peak = zc = 0.0
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "duration_sec": n / rate if rate else 0.0,
+                            "sample_rate": rate, "n_channels": ch,
+                            "rms": rms, "zero_crossing_rate": zc, "peak": peak,
+                        }
+                    )
                 else:
                     raise NotImplementedError(
-                        "compressed audio decode requires ffmpeg/librosa (stubbed)"
+                        "compressed audio needs ffmpeg on PATH (gated decoder)"
                     )
             yield pd.DataFrame(rows)
 

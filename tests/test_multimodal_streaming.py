@@ -326,3 +326,49 @@ def test_streaming_clean_scrub_matches_batch(spark, tmp_path):
            for r in spark.sql("select * from cleanscrub").collect()}
     assert got == batch
     assert got[2][1] == 1 and "<EMAIL>" in got[2][2]
+
+
+def test_ffmpeg_gated_video_and_compressed_audio(spark, tmp_path):
+    """Real video probe + compressed-audio decode through the ffmpeg gate —
+    runs wherever ffmpeg/ffprobe are on PATH (absent in this container ->
+    skipped, same discipline as the PIL gate).  Media is synthesized by
+    ffmpeg itself (lavfi testsrc / sine), so the test is self-contained."""
+    import shutil
+    import subprocess
+
+    if not (shutil.which("ffprobe") and shutil.which("ffmpeg")):
+        pytest.skip("ffmpeg/ffprobe not on PATH")
+    from knowledgeir_spark.multimodal.binaryops import audio_features, decode_media
+
+    vid_path = str(tmp_path / "clip.mp4")
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+         "testsrc=duration=1:size=64x64:rate=10", "-pix_fmt", "yuv420p",
+         vid_path],
+        check=True,
+    )
+    mp3_path = str(tmp_path / "tone.mp3")
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+         "sine=frequency=440:duration=1", mp3_path],
+        check=True,
+    )
+    with open(vid_path, "rb") as f:
+        vid = f.read()
+    with open(mp3_path, "rb") as f:
+        mp3 = f.read()
+
+    media = spark.createDataFrame(
+        [(1, vid), (2, mp3)], "media_id long, data binary"
+    )
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert dec[1]["kind"] == "VIDEO"
+    assert dec[1]["dim_a"] >= 8 and dec[1]["dim_b"] >= 1  # ~10 frames @ 10fps
+    assert dec[2]["kind"] == "AUDIO"
+    assert dec[2]["dim_b"] > 0  # sample rate
+
+    feats = audio_features(
+        spark.createDataFrame([(2, mp3)], "media_id long, data binary")
+    ).collect()[0]
+    assert feats["duration_sec"] == pytest.approx(1.0, abs=0.2)
+    assert feats["rms"] > 0.1  # a sine tone, not silence
