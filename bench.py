@@ -291,6 +291,288 @@ def serving_probe_once(
     return out
 
 
+def phrase_probe_once(cpus: int, n_docs: int, fp: str) -> dict:
+    """Subprocess entry: phrase serving at bench scale (verdict item 5) —
+    docstore-verify vs positional-verify latency on corpus-derived phrases
+    plus the stores' on-disk size delta; the numbers decide the shipped
+    default verify path."""
+    import statistics
+
+    from knowledgeir_spark.index.build import (
+        IndexConfig,
+        build_index,
+        choose_salt_range,
+    )
+    from knowledgeir_spark.index.docstore import write_docstore
+    from knowledgeir_spark.index.positions import write_positions_store
+    from knowledgeir_spark.index.query import IndexReader
+    from knowledgeir_spark.oracle.tokenizer import tokenize_doc
+    from knowledgeir_spark.session import get_spark
+
+    idx_dir = os.path.join(CACHE, f"phrase_idx_{n_docs}_{fp}")
+    spark = get_spark(cpus=cpus, app_name="kir-phrase-probe")
+    docs = spark.read.parquet(webtext_path(n_docs)).select("doc_id", "text")
+    cfg = IndexConfig(
+        salt_range=choose_salt_range(n_docs, 16), n_buckets=32,
+        build_partitions=max(16, n_docs // 18_000),
+    )
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, cfg, input_token=f"phrase_{n_docs}")
+    out: dict = {
+        "n_docs": n_docs,
+        "build_or_resume_sec": round(time.time() - t0, 3),
+    }
+    t0 = time.time()
+    if not os.path.isdir(os.path.join(idx_dir, "docstore")):
+        write_docstore(docs, idx_dir)
+    out["docstore_write_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    if not os.path.isdir(os.path.join(idx_dir, "positions")):
+        write_positions_store(docs, idx_dir)
+    out["positions_write_sec"] = round(time.time() - t0, 3)
+    for part in ("postings", "docstore", "positions"):
+        out[f"{part}_bytes"] = _dir_bytes(os.path.join(idx_dir, part))
+
+    # phrase queries FROM the corpus (the 2-gram at token offset 3 of
+    # spread-out docs) so matches are non-empty and both verify paths do
+    # real adjacency work; 2-grams whose BOTH terms are Zipf heads are kept
+    # too — head-head phrases are the expensive class and belong in p95
+    stride = max(1, n_docs // N_QUERIES)
+    sample = (
+        docs.filter((docs.doc_id % stride) == 7)
+        .orderBy("doc_id").limit(N_QUERIES).collect()
+    )
+    # tokenize with the INDEX's doc tokenizer (spec) so every phrase is a
+    # genuine adjacent pair of the indexed stream
+    phrases = []
+    for r in sample:
+        toks = tokenize_doc(r["text"])
+        if len(toks) >= 5:
+            phrases.append(" ".join(toks[3:5]))
+    queries = [(str(i), p) for i, p in enumerate(phrases)]
+    out["n_phrases"] = len(queries)
+
+    rd = IndexReader(spark, idx_dir)
+    results = {}
+    for verify in ("docstore", "positions"):
+        rd.search_phrase(queries[:1], k=K, verify=verify)  # warm
+        lat, rows = [], []
+        for q in queries:
+            tq = time.time()
+            rows.extend(rd.search_phrase([q], k=K, verify=verify))
+            lat.append(time.time() - tq)
+        lat_s = sorted(lat)
+        results[verify] = rows
+        out[verify] = {
+            "p50_sec": round(statistics.median(lat_s), 4),
+            "p95_sec": round(lat_s[int(len(lat_s) * 0.95) - 1], 4),
+            "total_sec": round(sum(lat_s), 3),
+            "n_results": len(rows),
+        }
+    out["results_identical"] = results["docstore"] == results["positions"]
+    spark.stop()
+    return out
+
+
+def freshness_once(cpus: int, n_docs: int, fp: str) -> dict:
+    """Subprocess entry: streaming ingest -> append compaction -> serving
+    freshness (verdict item 6).  1M-doc base + rolling 1% delta batches;
+    per batch: time-to-queryable (streamed delta build + O(delta) append
+    fold + reader open + planted-term hit) and sustained delta docs/sec.
+    Crash-replay assertions run mid-drill: (a) re-invoking the stream is a
+    no-op (checkpoint dedupe), (b) a simulated stats-commit crash heals on
+    the next compact (the lineage protocol, under the streaming path)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.fixtures.webpages import gen_webpages
+    from knowledgeir_spark.index.build import (
+        IndexConfig,
+        build_index,
+        choose_salt_range,
+    )
+    from knowledgeir_spark.index.compact import compact
+    from knowledgeir_spark.index.query import IndexReader
+    from knowledgeir_spark.session import get_spark
+    from knowledgeir_spark.streaming.incremental import incremental_index
+
+    root = os.path.join(CACHE, f"fresh_idx_{n_docs}_{fp}")
+    stream_in = os.path.join(CACHE, f"fresh_stream_{n_docs}_{fp}")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(stream_in, ignore_errors=True)
+    os.makedirs(stream_in)
+    spark = get_spark(cpus=cpus, app_name="kir-freshness")
+    docs = spark.read.parquet(webtext_path(n_docs)).select("doc_id", "text")
+    cfg = IndexConfig(
+        salt_range=choose_salt_range(n_docs, 16), n_buckets=32,
+        build_partitions=max(16, n_docs // 18_000),
+    )
+    t0 = time.time()
+    build_index(spark, docs, root, cfg, input_token=f"fresh_{n_docs}")
+    out: dict = {
+        "n_docs_base": n_docs,
+        "base_build_sec": round(time.time() - t0, 3),
+        "batches": [],
+    }
+    schema = "doc_id long, text string"
+    batch_docs = max(1000, n_docs // 100)
+    n_batches = 5
+    total_delta_sec = 0.0
+    for i in range(n_batches):
+        pdf = gen_webpages(n_docs=batch_docs, seed=1000 + i, with_html=False)
+        pdf = pdf.reset_index().rename(columns={"index": "doc_id"})
+        pdf["doc_id"] += n_docs + i * batch_docs
+        marker = f"freshterm{i}"
+        pdf.loc[pdf.index[0], "text"] += f" {marker}"
+        t0 = time.time()
+        spark.createDataFrame(pdf[["doc_id", "text"]]).coalesce(4).write.mode(
+            "append"
+        ).parquet(stream_in)
+        incremental_index(spark, stream_in, root, schema, cfg)
+        t_ingest = time.time() - t0
+        t1 = time.time()
+        compact(spark, root, cfg, mode="append")
+        t_compact = time.time() - t1
+        t2 = time.time()
+        rd = IndexReader(spark, root)
+        hits = rd.search_local([("1", marker)], k=5)
+        t_query = time.time() - t2
+        t_queryable = time.time() - t0
+        assert hits and hits[0][1] == int(pdf["doc_id"].iloc[0]), (
+            f"batch {i} marker not queryable: {hits}"
+        )
+        total_delta_sec += t_queryable
+        out["batches"].append(
+            {
+                "batch_docs": batch_docs,
+                "ingest_sec": round(t_ingest, 3),
+                "compact_sec": round(t_compact, 3),
+                "first_query_sec": round(t_query, 3),
+                "time_to_queryable_sec": round(t_queryable, 3),
+            }
+        )
+    out["sustained_delta_docs_per_sec"] = round(
+        n_batches * batch_docs / total_delta_sec, 1
+    )
+    # (a) crash-replay: re-invoking the stream processes nothing new
+    n_deltas = len(
+        [d for d in os.listdir(os.path.join(root, "deltas"))
+         if d.startswith("batch_")]
+    )
+    incremental_index(spark, stream_in, root, schema, cfg)
+    n_deltas_after = len(
+        [d for d in os.listdir(os.path.join(root, "deltas"))
+         if d.startswith("batch_")]
+    )
+    out["stream_replay_is_noop"] = n_deltas_after == n_deltas
+    # (b) simulated stats-commit crash (postings swapped, field_stats not):
+    # roll field_stats back as if the process died between the two commits,
+    # then re-run compact — the heal path must restore exact counts
+    fs_path = os.path.join(root, "field_stats.json")
+    with open(fs_path) as f:
+        fs_good = _json.load(f)
+    fs_crash = dict(fs_good)
+    last = sorted(fs_good.get("folded_deltas", []))[-1]
+    with open(os.path.join(root, "deltas", last, "delta_stats.json")) as f:
+        ds = _json.load(f)
+    fs_crash["folded_deltas"] = [
+        b for b in fs_good["folded_deltas"] if b != last
+    ]
+    fs_crash["n_docs"] -= ds["n_docs"]
+    fs_crash["total_len"] -= ds["total_len"]
+    with open(fs_path, "w") as f:
+        _json.dump(fs_crash, f)
+    compact(spark, root, cfg, mode="append")
+    with open(fs_path) as f:
+        fs_healed = _json.load(f)
+    rd = IndexReader(spark, root)
+    still = rd.search_local([("1", f"freshterm{n_batches - 1}")], k=5)
+    out["crash_heal_restores_stats"] = (
+        fs_healed["n_docs"] == fs_good["n_docs"]
+        and fs_healed["total_len"] == fs_good["total_len"]
+        and bool(still)
+    )
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(stream_in, ignore_errors=True)
+    return out
+
+
+def suggest_probe_once(cpus: int) -> dict:
+    """Subprocess entry: spell/autocomplete dictionary at web vocabulary
+    scale (verdict item 7).  The suggest dictionary consumes term_stats
+    only, so VOCABULARY size is the scale axis: build the delete-key index
+    over synthetic Zipf (term, df) vocabularies of 100k / 1M / 2M terms
+    (2M = the df-cache ceiling, IndexReader._TERM_STATS_CACHE_MAX), measure
+    build wall + per-probe latency, then measure the DISTRIBUTED fallback
+    (operators/spell.spell_correct over a term_stats table) on the same
+    probe set — the measured crossover the serving code claims."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.index.query import (
+        IndexReader,
+        _build_spell_index,
+        _suggest_from_dict,
+    )
+    from knowledgeir_spark.operators.spell import spell_correct
+    from knowledgeir_spark.session import get_spark
+
+    out: dict = {
+        "df_cache_ceiling_terms": IndexReader._TERM_STATS_CACHE_MAX,
+        "local": {},
+    }
+    n_probe = 200
+
+    def mk_term(i: int) -> str:
+        return f"term{i:07d}"
+
+    for n in (100_000, 1_000_000, 2_000_000):
+        dfc = {mk_term(i): float(max(1, 10_000_000 // (i + 1)))
+               for i in range(n)}
+        t0 = time.time()
+        idx = _build_spell_index(dfc)
+        build_sec = time.time() - t0
+        typos = [mk_term(i)[:2] + mk_term(i)[3:]
+                 for i in range(0, n, n // n_probe)][:n_probe]
+        lat = []
+        for t in typos:
+            tq = time.time()
+            _suggest_from_dict([t], dfc, idx, 3)
+            lat.append(time.time() - tq)
+        out["local"][str(n)] = {
+            "dict_build_sec": round(build_sec, 2),
+            "delete_keys": len(idx),
+            "probe_p50_us": round(statistics.median(lat) * 1e6, 1),
+            "probe_p95_us": round(sorted(lat)[int(n_probe * 0.95) - 1] * 1e6, 1),
+        }
+        del dfc, idx
+    # distributed fallback: the path suggest() takes above the ceiling
+    spark = get_spark(cpus=cpus, app_name="kir-suggest-probe")
+    n_dist = 2_000_000
+    vocab = spark.range(n_dist).select(
+        F.format_string("term%07d", F.col("id")).alias("term"),
+        F.greatest(
+            F.lit(1.0), (F.lit(10_000_000) / (F.col("id") + 1)).cast("double")
+        ).alias("df"),
+    )
+    typos = [mk_term(i)[:2] + mk_term(i)[3:]
+             for i in range(0, n_dist, n_dist // n_probe)][:n_probe]
+    inp = spark.createDataFrame([(t,) for t in typos], "input string")
+    t0 = time.time()
+    n_sugg = spell_correct(inp, vocab).count()
+    out["distributed"] = {
+        "vocab_terms": n_dist,
+        "n_probes": n_probe,
+        "batch_wall_sec": round(time.time() - t0, 2),
+        "n_suggestions": n_sugg,
+    }
+    spark.stop()
+    return out
+
+
 def dedup_once(cpus: int, n_docs: int) -> dict:
     """Subprocess entry: minhash-LSH + simhash near-dup over the Zipf-skewed
     webtext corpus at bench scale — wall time and candidate-pair counts are
@@ -702,6 +984,99 @@ def main() -> None:
             ),
         }
 
+    # 2b1c. phrase serving at bench scale (verdict item 5): docstore vs
+    # positional verify at 1M docs, cached on index+phrase code.
+    if os.environ.get("KIR_BENCH_PHRASE", "1") == "1":
+        pfp = _code_fingerprint((
+            "knowledgeir_spark/index/build.py",
+            "knowledgeir_spark/index/docstore.py",
+            "knowledgeir_spark/index/positions.py",
+            "knowledgeir_spark/index/query.py",
+            "knowledgeir_spark/session.py",
+        ))
+        p_docs = int(os.environ.get("KIR_BENCH_PHRASE_DOCS", "1000000"))
+        key = os.path.join(CACHE, f"phrase_{p_docs}_{pfp}.json")
+        if os.path.exists(key):
+            with open(key) as f:
+                leg = json.load(f)
+            leg["cached"] = True
+        else:
+            ensure_webtext(p_docs)
+            leg = _subprocess_leg(
+                {
+                    "KIR_BENCH_PHRASE_RUN_DOCS": str(p_docs),
+                    "KIR_BENCH_PHRASE_RUN_CPUS": str(CPUS),
+                    "KIR_BENCH_PHRASE_RUN_FP": pfp,
+                },
+                3600, f"phrase probe (n_docs={p_docs})",
+            )
+            if leg:
+                with open(key, "w") as f:
+                    json.dump(leg, f)
+        if leg:
+            extras["phrase_scale"] = leg
+
+    # 2b1d. streaming freshness drill (verdict item 6): 1M base + 1%
+    # rolling deltas through incremental_index -> append compact ->
+    # reader; cached on the streaming+compaction code.
+    if os.environ.get("KIR_BENCH_FRESH", "1") == "1":
+        ffp = _code_fingerprint((
+            "knowledgeir_spark/index/build.py",
+            "knowledgeir_spark/index/compact.py",
+            "knowledgeir_spark/streaming/incremental.py",
+            "knowledgeir_spark/plans/lineage.py",
+            "knowledgeir_spark/session.py",
+        ))
+        f_docs = int(os.environ.get("KIR_BENCH_FRESH_DOCS", "1000000"))
+        key = os.path.join(CACHE, f"fresh_{f_docs}_{ffp}.json")
+        if os.path.exists(key):
+            with open(key) as f:
+                leg = json.load(f)
+            leg["cached"] = True
+        else:
+            ensure_webtext(f_docs)
+            leg = _subprocess_leg(
+                {
+                    "KIR_BENCH_FRESH_RUN_DOCS": str(f_docs),
+                    "KIR_BENCH_FRESH_RUN_CPUS": str(CPUS),
+                    "KIR_BENCH_FRESH_RUN_FP": ffp,
+                },
+                3600, f"freshness drill (n_docs={f_docs})",
+            )
+            if leg:
+                with open(key, "w") as f:
+                    json.dump(leg, f)
+        if leg:
+            extras["freshness"] = leg
+
+    # 2b1e. suggest/spell dictionary at web vocabulary scale (verdict item
+    # 7): local delete-key dict build + probe latency at 100k/1M/2M terms
+    # vs the distributed fallback; cached on the suggest code.
+    if os.environ.get("KIR_BENCH_SUGGEST", "1") == "1":
+        sfp = _code_fingerprint((
+            "knowledgeir_spark/index/query.py",
+            "knowledgeir_spark/operators/spell.py",
+            "knowledgeir_spark/session.py",
+        ))
+        key = os.path.join(CACHE, f"suggest_{sfp}.json")
+        if os.path.exists(key):
+            with open(key) as f:
+                leg = json.load(f)
+            leg["cached"] = True
+        else:
+            leg = _subprocess_leg(
+                {
+                    "KIR_BENCH_SUGGEST_RUN": "1",
+                    "KIR_BENCH_SUGGEST_RUN_CPUS": str(CPUS),
+                },
+                3600, "suggest vocab-scale probe",
+            )
+            if leg:
+                with open(key, "w") as f:
+                    json.dump(leg, f)
+        if leg:
+            extras["suggest_scale"] = leg
+
     # 2b2. serving block-skip probe: impact-ordered blocks vs doc-ordered,
     # and doc-id sparsity (stride 16), at 1M/2M docs — the measured
     # evidence that block bounds discriminate (skip rate) and what that
@@ -1019,6 +1394,34 @@ if __name__ == "__main__":
                     os.environ.get("KIR_BENCH_PROBE_ORDER", "docid"),
                     int(os.environ.get("KIR_BENCH_PROBE_STRIDE", "1")),
                     os.environ.get("KIR_BENCH_PROBE_FP", "nofp"),
+                )
+            )
+        )
+    elif os.environ.get("KIR_BENCH_PHRASE_RUN_DOCS"):
+        print(
+            json.dumps(
+                phrase_probe_once(
+                    int(os.environ.get("KIR_BENCH_PHRASE_RUN_CPUS", str(CPUS))),
+                    int(os.environ["KIR_BENCH_PHRASE_RUN_DOCS"]),
+                    os.environ.get("KIR_BENCH_PHRASE_RUN_FP", "nofp"),
+                )
+            )
+        )
+    elif os.environ.get("KIR_BENCH_FRESH_RUN_DOCS"):
+        print(
+            json.dumps(
+                freshness_once(
+                    int(os.environ.get("KIR_BENCH_FRESH_RUN_CPUS", str(CPUS))),
+                    int(os.environ["KIR_BENCH_FRESH_RUN_DOCS"]),
+                    os.environ.get("KIR_BENCH_FRESH_RUN_FP", "nofp"),
+                )
+            )
+        )
+    elif os.environ.get("KIR_BENCH_SUGGEST_RUN"):
+        print(
+            json.dumps(
+                suggest_probe_once(
+                    int(os.environ.get("KIR_BENCH_SUGGEST_RUN_CPUS", str(CPUS)))
                 )
             )
         )

@@ -1348,6 +1348,11 @@ class IndexReader:
             all_terms = set(all_terms)
             for ts in excl_map.values():
                 all_terms.update(ts)
+        if not all_terms:
+            # no queries, or every query tokenized to nothing (e.g. a
+            # stopword-only phrase) — an empty isin() set would reach
+            # pyarrow as a null-typed array and raise ArrowTypeError
+            return []
         if stats_override is not None:
             # sharded serving: score THIS shard's postings with the global
             # corpus statistics so per-shard top-k merge exactly
