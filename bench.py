@@ -1342,9 +1342,41 @@ def main() -> None:
         k for k in (
             "leg_evidence", "codec_cost", "dedup_scale", "ngram_span_scale",
             "serving_block_skip", "web_serving_legs", "scaling_2_8_dram_bound",
+            "phrase_scale", "freshness", "suggest_scale", "anchor_skew",
+            "serving_cold", "serving_cold_prewarmed",
         ) if k in extras
     ]
     evidence = {k: extras.pop(k) for k in bulky}
+    # one-line summaries of the moved legs stay on the headline line
+    ps = evidence.get("phrase_scale")
+    if ps and "docstore" in ps:
+        extras["phrase_p50_sec"] = {
+            "docstore": ps["docstore"]["p50_sec"],
+            "positions": ps["positions"]["p50_sec"],
+        }
+    fr = evidence.get("freshness")
+    if fr and fr.get("batches"):
+        extras["freshness"] = {
+            "delta_docs_per_sec": fr["sustained_delta_docs_per_sec"],
+            "ttq_p50_sec": round(statistics.median(
+                [b["time_to_queryable_sec"] for b in fr["batches"]]), 2),
+            "replay_noop": fr.get("stream_replay_is_noop"),
+            "crash_heal": fr.get("crash_heal_restores_stats"),
+        }
+    sg = evidence.get("suggest_scale")
+    if sg and sg.get("local", {}).get("2000000"):
+        extras["suggest_2m"] = {
+            "dict_build_sec": sg["local"]["2000000"]["dict_build_sec"],
+            "probe_p50_us": sg["local"]["2000000"]["probe_p50_us"],
+            "dist_batch_sec": sg.get("distributed", {}).get("batch_wall_sec"),
+        }
+    an = evidence.get("anchor_skew")
+    if an and an.get("legs"):
+        worst = an["legs"].get("hot_8000000") or next(iter(an["legs"].values()))
+        extras["anchor_hot8m_single_window_sec"] = worst.get("single_window")
+    for k in ("serving_cold", "serving_cold_prewarmed"):
+        if k in evidence:
+            extras[k + "_p95_sec"] = evidence[k]["p95_sec"]
     sc = extras.get("scaling")
     if sc and "efficiency" in sc:
         evidence["scaling_full"] = sc
@@ -1357,11 +1389,6 @@ def main() -> None:
         }
         if sc.get("cached"):
             extras["scaling"]["cached"] = True
-    ev_path = os.path.join(REPO, "BENCH", "evidence_latest.json")
-    os.makedirs(os.path.dirname(ev_path), exist_ok=True)
-    with open(ev_path, "w") as f:
-        json.dump(evidence, f, indent=1)
-
     out = {
         "metric": "kir_spark_headline_suite",
         "value": round(sum(results.values()), 3),
@@ -1371,6 +1398,11 @@ def main() -> None:
         **extras,
         "evidence_file": "BENCH/evidence_latest.json",
     }
+    evidence["headline"] = out
+    ev_path = os.path.join(REPO, "BENCH", "evidence_latest.json")
+    os.makedirs(os.path.dirname(ev_path), exist_ok=True)
+    with open(ev_path, "w") as f:
+        json.dump(evidence, f, indent=1)
     print(json.dumps(out))
 
 
