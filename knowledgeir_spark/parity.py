@@ -26,7 +26,7 @@ from .functions.scoring import (
     ordered_sum,
     tf_idf_contrib,
 )
-from .functions.text import doc_terms_builtin
+from .functions.text import doc_terms_builtin, tokenize_simple_expr
 from .operators.topk import RANK_QUANTUM
 
 # ---------------------------------------------------------------------------
@@ -147,32 +147,65 @@ def _scored_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """matched frame (qid, doc_id, term_idx, q_tf, tf, doc_len, df) +
     scalars (n, avgdl) for the embedded query set.
 
-    The long-form tokens feed three consumers (scalars, df stats, the
-    matched join); Catalyst does not share common subplans across actions,
-    so persist it once instead of re-tokenizing per lineage."""
-    from pyspark import StorageLevel
+    Only the ~25 distinct ENTRY_QUERIES terms ever reach the scorers, so the
+    exploded token stream is filtered to that vocabulary BEFORE the tf
+    shuffle (project/filter early — spark_optimization_guide §2.3): the
+    exchange carries a few thousand matched rows instead of the full
+    (doc, term) long form, and the corpus scalars come from one shuffle-free
+    scalar aggregate instead of a persisted intermediate.  df per term is a
+    window count over the matched frame — count of docs containing the term,
+    identical to the full-vocabulary groupBy restricted to query terms.
 
-    dt = _doc_tf(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    total_len = dt.agg(F.sum("tf")).collect()[0][0] or 0
-    avgdl = total_len / n_docs
-    qt = _query_terms_df(spark)
-    dfs = dt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    matched = (
-        dt.join(F.broadcast(qt), "term")
-        .join(
-            F.broadcast(dfs.join(qt.select("term").distinct(), "term", "left_semi")),
-            "term",
+    The corpus scalars (n, avgdl) ride along as a broadcast 1-row cross
+    join instead of a separate collect() action, so the whole ranking is
+    ONE Spark job; they are returned as Columns (the scoring expressions
+    accept Column or float) and the score groupBy includes them as
+    (constant) grouping keys via _group_scores.  The testdata parquet is a
+    single small file (= one scan task), so both tokenize lineages are
+    repartitioned to the session parallelism first."""
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir).repartition(par)
+    toks = tokenize_simple_expr(F.col("text"))
+    qvocab = sorted({t for _, q in ENTRY_QUERIES for t in q.lower().split()})
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum(F.size(toks)).cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    tf_q = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("doc_len"),
+            F.explode(toks).alias("term"),
         )
+        .filter(F.col("term").isin(qvocab))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    qt = _query_terms_df(spark)
+    matched = (
+        tf_q.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("double")
+        )
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
         .select(
             "qid", "doc_id", "term_idx", "q_tf",
             F.col("tf").cast("double").alias("tf"),
             F.col("doc_len").cast("double").alias("doc_len"),
-            "df",
+            "df", "_n", "_avgdl",
         )
     )
-    return matched, float(n_docs), float(avgdl)
+    return matched, F.col("_n"), F.col("_avgdl")
+
+
+def _group_scores(matched: DataFrame, agg_col) -> DataFrame:
+    """groupBy(qid, doc_id) with the broadcast corpus scalars as extra
+    (group-constant) keys so scoring expressions may reference them."""
+    return (
+        matched.groupBy("qid", "doc_id", "_n", "_avgdl")
+        .agg(agg_col.alias("score"))
+        .drop("_n", "_avgdl")
+    )
 
 
 def _rank_and_quantize(scored: DataFrame, score_col: str = "score") -> DataFrame:
@@ -186,7 +219,10 @@ def _rank_and_quantize(scored: DataFrame, score_col: str = "score") -> DataFrame
             "qid", "doc_id", "rank",
             F.floor(F.col(score_col) * 1e6).cast("long").alias("score_e6"),
         )
-        .orderBy("qid", "rank")
+        # <= TOPK * |queries| rows survive: a single-partition sort gives the
+        # same row order as a global orderBy without the range-partitioning
+        # exchange and its sampling job (guide §2.4)
+        .coalesce(1).sortWithinPartitions("qid", "rank")
     )
 
 
@@ -242,13 +278,14 @@ def variant_union_sql(
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+W1: the flagship — reference-quirk BM25 top-20 per query."""
     matched, n, avgdl = _scored_matched(spark, sf_dir)
-    scored = matched.groupBy("qid", "doc_id").agg(
+    scored = _group_scores(
+        matched,
         bm25_finalize(
             ordered_sum(
                 F.col("term_idx"),
                 bm25_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n, avgdl),
             )
-        ).alias("score")
+        ),
     )
     return _rank_and_quantize(scored)
 
@@ -256,11 +293,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8+W1: tf_idf top-20 per query."""
     matched, n, _ = _scored_matched(spark, sf_dir)
-    scored = matched.groupBy("qid", "doc_id").agg(
+    scored = _group_scores(
+        matched,
         ordered_sum(
             F.col("term_idx"),
             tf_idf_contrib(F.col("tf"), F.col("df"), F.col("doc_len"), n),
-        ).alias("score")
+        ),
     )
     return _rank_and_quantize(scored)
 
@@ -268,8 +306,8 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coordinate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6+W1: coordinate (overlap count) top-20."""
     matched, _, _ = _scored_matched(spark, sf_dir)
-    scored = matched.groupBy("qid", "doc_id").agg(
-        F.sum((F.col("tf") > 0).cast("long")).cast("double").alias("score")
+    scored = _group_scores(
+        matched, F.sum((F.col("tf") > 0).cast("long")).cast("double")
     )
     return _rank_and_quantize(scored)
 
