@@ -968,13 +968,22 @@ class IndexReader:
         rows = self._term_stats.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: float(r["df"]) for r in rows}
 
+    # scoring-exchange sizing: the Python scorer pays a fixed per-task cost
+    # (worker round-trip + Arrow serde), so the partition count follows the
+    # candidate volume (sum of term dfs) instead of the session shuffle
+    # width; capped at defaultParallelism = one wave of Python workers.
+    _CAND_POSTINGS_PER_TASK = 15_000
+    # merge="auto" routes to the driver scatter-gather merge when the
+    # estimated fan-in (k * queries * salt ranges) is below this
+    _DRIVER_MERGE_MAX_ROWS = 50_000
+
     def search(
         self,
         queries: list[tuple[str, str]] | DataFrame,
         k: int = 20,
         model: str = "bm25",
         prune: bool = True,
-        merge: str = "spark",
+        merge: str = "auto",
         mode: str = "or",
         exclude: dict[str, list[str]] | None = None,
     ) -> DataFrame:
@@ -988,6 +997,9 @@ class IndexReader:
         top-k (<= k rows) is collected and merged on the driver with the same
         quantized ranking key; one Spark job instead of three stages, the
         standard low-latency coordinator shape.  Identical results (tested).
+        merge="auto" (default): driver scatter-gather when the estimated
+        fan-in (k * |queries| * salt ranges) is coordinator-sized
+        (_DRIVER_MERGE_MAX_ROWS), else the spark window path.
 
         mode="and" / exclude: conjunctive (AND-NOT) retrieval.  Correct
         under the salted layout because the salt is a CONTIGUOUS DOC
@@ -1027,9 +1039,30 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], "qid string, doc_id long, score double, rank int"
             )
-        qt_df = self.spark.createDataFrame(qt_rows, "qid string, term string")
         postings = self.postings_for_terms(sorted(all_terms))
-        joined = postings.join(F.broadcast(qt_df), "term")
+        if len(q_terms) == 1:
+            # single query: every pruned posting row belongs to the one qid,
+            # so a literal column replaces the broadcast join (drops the
+            # BroadcastExchange and the driver->JVM row conversion)
+            joined = postings.withColumn("qid", F.lit(next(iter(q_terms))))
+        else:
+            qt_df = self.spark.createDataFrame(
+                qt_rows, "qid string, term string"
+            )
+            joined = postings.join(F.broadcast(qt_df), "term")
+        # Explicitly size the scoring exchange from the per-(qid, term)
+        # candidate volume.  Left to the session default, AQE coalesces the
+        # tiny point-query exchange to ONE partition and the Python scorer
+        # runs serially (measured: 1.11s -> 0.42s per query at 100k docs).
+        work = sum(dfs.get(t, 0.0) for _, t in qt_rows)
+        parts = max(
+            1,
+            min(
+                -(-int(work) // self._CAND_POSTINGS_PER_TASK),
+                self.spark.sparkContext.defaultParallelism,
+            ),
+        )
+        joined = joined.repartition(parts, "qid", "salt")
 
         codec = self.codec
 
@@ -1044,8 +1077,19 @@ class IndexReader:
         local = joined.groupBy("qid", "salt").applyInPandas(
             apply_fn, "qid string, doc_id long, score double"
         )
+        if merge == "auto":
+            n_salts = -(-int(n) // int(
+                self.field_stats.get("salt_range", 1 << 20)
+            )) or 1
+            est_rows = k * len(q_terms) * n_salts
+            merge = (
+                "driver" if est_rows <= self._DRIVER_MERGE_MAX_ROWS
+                else "spark"
+            )
         if merge == "spark":
-            return topk_per_query(local, k=k)
+            return topk_per_query(
+                local, k=k, single_partition_sort=(k * len(q_terms) <= 100_000)
+            )
         if merge == "local":
             raise ValueError("use search_local() for the serving path")
         # driver-side scatter-gather merge (rows collected: <= k * n_ranges)
@@ -1065,9 +1109,18 @@ class IndexReader:
                 (qid, doc_id, float(score), rank + 1)
                 for rank, (doc_id, score) in enumerate(cand)
             )
-        return self.spark.createDataFrame(
-            out, "qid string, doc_id long, score double, rank int"
-        )
+        return self._rows_df(out)
+
+    def _rows_df(self, rows: list[tuple]) -> DataFrame:
+        """TREC-shaped rows -> DataFrame as a SINGLE-slice RDD: the default
+        createDataFrame parallelizes tiny result sets over
+        defaultParallelism empty slices, so every downstream collect()
+        schedules ~32 no-op tasks (measured 0.27s per point query)."""
+        schema = "qid string, doc_id long, score double, rank int"
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        rdd = self.spark.sparkContext.parallelize(rows, 1)
+        return self.spark.createDataFrame(rdd, schema)
 
     # ------------------------------------------------------------------
     # serving path: no Spark job per query
@@ -1091,9 +1144,7 @@ class IndexReader:
         slice_postings = sum(dfs.values())
         if slice_postings <= self._LOCAL_MAX_POSTINGS:
             rows = self.search_local(queries, k=k, model=model, prune=prune)
-            return self.spark.createDataFrame(
-                rows, "qid string, doc_id long, score double, rank int"
-            )
+            return self._rows_df(rows)
         return self.search(queries, k=k, model=model, prune=prune)
 
     def _local_dataset(self):
