@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.lineage import StageManager
-from .build import IndexConfig, POSTINGS_SCHEMA, _make_block_builder, term_bucket_expr
+from .build import IndexConfig, apply_block_encoder, term_bucket_expr
 from .codec import decode_payload, delta_decode
 
 _LONG_FORM = "doc_id long, term string, tf long, doc_len long"
@@ -250,10 +250,7 @@ def defrag(
         (
             salted.repartition(max(len(buckets), 1), "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(
-                _make_block_builder(config.block_size, config.codec, config.block_order),
-                POSTINGS_SCHEMA,
-            )
+            .transform(lambda df: apply_block_encoder(df, config))
             .repartition(max(len(buckets), 1), "bucket")
             .write.partitionBy("bucket").parquet(tmp)
         )
@@ -427,7 +424,7 @@ def compact(
             (
                 salted.repartition(config.n_buckets, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id")
-                .mapInPandas(_make_block_builder(config.block_size, config.codec, config.block_order), POSTINGS_SCHEMA)
+                .transform(lambda df: apply_block_encoder(df, config))
                 .repartition(config.n_buckets, "bucket")
                 .write.partitionBy("bucket").parquet(tmp)
             )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_terms
-from ..index.build import IndexConfig, POSTINGS_SCHEMA, _make_block_builder, term_bucket_expr
+from ..index.build import IndexConfig, apply_block_encoder, term_bucket_expr
 
 
 def _delta_writer(index_root: str, config: IndexConfig):
@@ -42,7 +42,7 @@ def _delta_writer(index_root: str, config: IndexConfig):
         (
             salted.repartition(config.n_buckets, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_make_block_builder(config.block_size, config.codec, config.block_order), POSTINGS_SCHEMA)
+            .transform(lambda df: apply_block_encoder(df, config))
             .write.mode("overwrite").partitionBy("bucket").parquet(out)
         )
         # per-delta corpus scalars so compaction can update field_stats exactly

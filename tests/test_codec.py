@@ -97,7 +97,8 @@ def test_vectorized_builder_byte_identical_to_per_block(spark, webpages_pdf):
                 ids[start:start + 16], tfs[start:start + 16],
                 dls[start:start + 16],
             )
-            blk.update(term=term, salt=int(salt), bucket=3, block_id=bi)
+            blk.update(term=term, salt=int(salt), bucket=3, block_id=bi,
+                       sum_tf=int(tfs[start:start + 16].sum()))
             rows.append(blk)
     slow = pd.DataFrame(rows)[list(fast.columns)]
     assert len(fast) == len(slow) > 50
@@ -146,7 +147,7 @@ def test_vectorized_builder_byte_identical_under_impact_order(spark, webpages_pd
                 dls[start:start + 16],
             )
             blk.update(term=term, salt=int(salt), bucket=int(bucket),
-                       block_id=bi)
+                       block_id=bi, sum_tf=int(tfs[start:start + 16].sum()))
             rows.append(blk)
     slow = pd.DataFrame(rows)[list(fast.columns)]
     assert len(fast) == len(slow)
@@ -155,3 +156,44 @@ def test_vectorized_builder_byte_identical_under_impact_order(spark, webpages_pd
     # every block's ids ascend (delta-codable) and per-group max_tf declines
     grp = slow.groupby(["term", "salt"])["max_tf"]
     assert (grp.apply(lambda s: (s.to_numpy()[:-1] >= s.to_numpy()[1:]).all())).all()
+
+
+def test_arrow_builder_byte_identical_to_pandas(spark, webpages_pdf):
+    """The mapInArrow block builder (round-6 hot-path rewrite for the
+    default varint/docid layout) must produce byte-identical block rows to
+    the pandas builder, including across carry-spanning batch boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from knowledgeir_spark.functions.text import doc_terms
+    from knowledgeir_spark.index.build import (
+        _make_block_builder,
+        _make_block_builder_arrow,
+    )
+
+    pdf_src = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf_src[["doc_id", "text"]])
+    pdf = (
+        doc_terms(docs)
+        .withColumn("salt", (F.col("doc_id") / 64).cast("long"))
+        .withColumn("bucket", F.lit(3).cast("int"))
+        .orderBy("term", "salt", "doc_id")
+        .toPandas()
+    )
+    import pandas as pd
+
+    ref = pd.concat(list(_make_block_builder(16, "varint")(iter([pdf]))))
+    # feed the arrow builder the same rows split into small batches so the
+    # carry path (group spanning a batch boundary) is exercised
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    batches = tbl.to_batches(max_chunksize=257)
+    got_batches = list(_make_block_builder_arrow(16)(iter(batches)))
+    got = pa.Table.from_batches(got_batches).to_pandas()
+    assert list(got.columns) == list(ref.columns)
+    assert len(got) == len(ref) > 50
+    for c in ref.columns:
+        a, b = got[c].tolist(), ref[c].tolist()
+        if c in ("doc_id_deltas", "tfs", "doc_lens"):
+            a, b = [bytes(x) for x in a], [bytes(x) for x in b]
+        assert a == b, c
