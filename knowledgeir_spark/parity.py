@@ -362,7 +362,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("revenue_e2"),
             F.count("*").alias("n_rows"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # a handful of groups survive: single-partition sort instead of a
+        # range-partitioning exchange + sampling job (guide §2.4)
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -382,7 +384,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("c_mktsegment", "rank", "c_custkey", "revenue_e2")
-        .orderBy("c_mktsegment", "rank")
+        # <= 5 rows per segment survive: same order, no range exchange
+        .coalesce(1).sortWithinPartitions("c_mktsegment", "rank")
     )
 
 
