@@ -697,6 +697,7 @@ def _score_group_bool(
     excl_terms: dict[str, set[str]] | None = None,
     cache: "DecodedTermCache | None" = None,
     return_all: bool = False,
+    cand_init: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Conjunctive (AND / AND-NOT) retrieval over one (qid[, salt]) group:
     only docs containing EVERY query term and NONE of the excluded terms
@@ -715,7 +716,13 @@ def _score_group_bool(
     fine).  Skip counters land in _LAST_BOOL_STATS.
 
     return_all=True yields every matching doc (no top-k cut) — the phrase
-    path filters by adjacency before cutting."""
+    path filters by adjacency before cutting.
+
+    cand_init: optional sorted unique doc-id restriction (e.g. a nextword
+    store's exact-adjacency postings).  Scores are per-doc, so restricting
+    the candidate set is value-identical to filtering the unrestricted
+    result afterwards — and every term's decode is block-pruned to the
+    restriction from the start."""
     qid = pdf["qid"].iat[0]
     excl = (excl_terms or {}).get(qid, set())
     terms = [t for t in q_terms[qid] if t["term"] not in excl]
@@ -772,7 +779,9 @@ def _score_group_bool(
 
     ordered = sorted(terms, key=lambda t: (float(t["df"]), t["term"]))
     decoded: dict[str, tuple] = {}
-    cand: np.ndarray | None = None
+    cand: np.ndarray | None = (
+        None if cand_init is None else np.asarray(cand_init, dtype=np.int64)
+    )
     for t in ordered:
         term = t["term"]
         ids, tfs, dls = decode_term(term, groups[term], cand)
@@ -944,6 +953,18 @@ class IndexReader:
         self._spell_index: dict[str, list[str]] | None = None
         # lazy facet sidecar reader (facet_counts_local)
         self._facet_store = None
+        # lazy nextword (head-head bigram) store reader, None if absent
+        self._nextword = False  # False = not yet probed
+
+    def _nextword_store(self):
+        if self._nextword is False:
+            from .nextword import NextwordStore
+
+            meta = os.path.join(self.index_dir, "nextword", "_nextword.json")
+            self._nextword = (
+                NextwordStore(self.index_dir) if os.path.exists(meta) else None
+            )
+        return self._nextword
 
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.n_buckets) for t in terms})
@@ -1370,6 +1391,7 @@ class IndexReader:
         mode: str = "or",
         exclude: dict[str, list[str]] | None = None,
         _all_matches: bool = False,
+        cand_init: dict[str, np.ndarray] | None = None,
     ) -> list[tuple[str, int, float, int]]:
         """Coordinator-local point-query path: the SAME pruned slice a Spark
         job would scan (bucket dirs + term row groups) is read directly with
@@ -1440,6 +1462,7 @@ class IndexReader:
                     sub, q_terms, n, avgdl, model, k, self.codec,
                     excl_terms=excl_map, cache=self.decode_cache,
                     return_all=_all_matches,
+                    cand_init=(cand_init or {}).get(qid),
                 )
                 for rank, row in enumerate(res.itertuples(), start=1):
                     out.append((qid, int(row.doc_id), float(row.score), rank))
@@ -1496,7 +1519,15 @@ class IndexReader:
         the phrase terms' buckets + vectorized offset intersection);
         verify="docstore" re-tokenizes candidate texts from the forward
         index; "auto" prefers the positions store when present.  Both
-        paths implement the same adjacency spec (tested equal)."""
+        paths implement the same adjacency spec (tested equal).
+
+        When a nextword store (index/nextword.py) is present, adjacent
+        head-head pairs are answered from its exact-adjacency postings:
+        a covered 2-token phrase needs no verification at all (the bigram
+        postings ARE the phrase docs), and longer phrases intersect every
+        covered pair's doc set into a phase-1 candidate restriction —
+        identical results (the store is exact), minus the head-head
+        candidate explosion the round-5 verdict measured."""
         from .docstore import DocStore
         from ..oracle.tokenizer import tokenize_doc, tokenize_simple
 
@@ -1512,6 +1543,33 @@ class IndexReader:
                 else "docstore"
             )
         phrases = {str(q): tok(text) for q, text in queries}
+        # nextword fast path: exact-adjacency postings for covered pairs
+        nw = self._nextword_store()
+        if nw is not None and nw.tokenizer != (tokenizer or self.tokenizer):
+            nw = None  # store built under a different token stream
+        cand_restrict: dict[str, np.ndarray] = {}
+        nw_exact: set[str] = set()
+        if nw is not None:
+            for qid, toks in phrases.items():
+                if len(toks) < 2:
+                    continue
+                pairs = list(zip(toks, toks[1:]))
+                covered = [p for p in pairs if nw.covers(*p)]
+                if not covered:
+                    continue
+                inter: np.ndarray | None = None
+                for p in covered:
+                    ids = nw.doc_ids(*p)
+                    inter = ids if inter is None else inter[
+                        np.isin(inter, ids, assume_unique=True)
+                    ]
+                    if not len(inter):
+                        break
+                cand_restrict[qid] = inter
+                if len(pairs) == 1:
+                    # the single covered pair IS the whole phrase:
+                    # adjacency already proven, no verification needed
+                    nw_exact.add(qid)
         # phase-1 conjunction must run over the DOC-TOKENIZED phrase, not
         # the raw text: search_local's query tokenizer is a whitespace
         # split, so a raw stopword/punctuation token would become a
@@ -1522,13 +1580,15 @@ class IndexReader:
             if phrases[str(q)]
         ]
         cand_rows = self.search_local(
-            live, k=k, model=model, mode="and", _all_matches=True
+            live, k=k, model=model, mode="and", _all_matches=True,
+            cand_init=cand_restrict or None,
         )
         by_q: dict[str, list[tuple[int, float]]] = {}
         all_ids: set[int] = set()
         for qid, doc_id, score, _rank in cand_rows:
             by_q.setdefault(qid, []).append((doc_id, score))
-            all_ids.add(doc_id)
+            if qid not in nw_exact:
+                all_ids.add(doc_id)
         if verify == "positions":
             from .positions import PositionsStore, phrase_match
 
@@ -1554,7 +1614,7 @@ class IndexReader:
             kept = [
                 (doc_id, score)
                 for doc_id, score in by_q[qid]
-                if matches(qid, doc_id)
+                if qid in nw_exact or matches(qid, doc_id)
             ]
             kept.sort(key=lambda ds: (-math.floor(ds[1] * _RANK_Q), ds[0]))
             out.extend(

@@ -27,10 +27,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# (k_clusters, nprobe, iters)
+# (k_clusters, nprobe, iters) — k_clusters 32/64 added in round 6 (verdict
+# item 4) so resolve_nprobe stops falling back to a full-corpus probe for
+# the partition counts a bigger corpus would actually use
 GRID = [
     (8, 1, 3), (8, 2, 3), (8, 3, 3), (8, 4, 3), (8, 5, 3), (8, 6, 3),
     (16, 2, 3), (16, 4, 3), (16, 6, 3), (16, 8, 3),
+    (32, 4, 3), (32, 8, 3), (32, 12, 3), (32, 16, 3), (32, 20, 3),
+    (64, 8, 3), (64, 16, 3), (64, 24, 3), (64, 32, 3), (64, 40, 3),
 ]
 N_QUERIES = 50
 # the clustered-regime probe: 16 Gaussian clusters, per-coordinate sigma 0.05 around unit
@@ -134,7 +138,11 @@ def measure_clustered(spark, k: int = 10) -> list[dict]:
         for r in brute_force_topk(vecs, queries, k=k).collect()
     }
     rows = []
-    for k_clusters, nprobe, iters in [(16, 1, 5), (16, 2, 5), (16, 4, 5)]:
+    for k_clusters, nprobe, iters in [
+        (16, 1, 5), (16, 2, 5), (16, 4, 5),
+        (32, 2, 5), (32, 4, 5), (32, 8, 5),
+        (64, 4, 5), (64, 8, 5), (64, 16, 5),
+    ]:
         got = {
             (r["q_id"], r["vec_id"])
             for r in ivf_topk(

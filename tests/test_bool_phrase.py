@@ -259,3 +259,82 @@ def test_last_query_stats_reset_between_modes(spark, bool_index):
     r.search_local([("1", "the data")], k=5)
     st = r.last_query_stats()
     assert not any(k.startswith("bool_") for k in st)
+
+
+def test_phrase_nextword_store(spark, bool_index, tmp_path):
+    """The partial nextword (head-head bigram) store must leave
+    search_phrase results value-identical: a covered 2-token phrase is
+    answered from the store without verification, longer phrases use the
+    store only as a candidate restriction (round-6 optimization)."""
+    import shutil
+
+    import pandas as pd
+
+    from knowledgeir_spark.index.docstore import DocStore
+    from knowledgeir_spark.index.nextword import (
+        NextwordStore,
+        write_nextword_store,
+    )
+
+    idx = str(tmp_path / "nw_idx")
+    shutil.copytree(bool_index["idx_dir"], idx)
+    toks = bool_index["toks"]
+    queries = [
+        ("1", "the data"), ("2", "data the"), ("3", "the the"),
+        ("4", "the data value"), ("5", f"{RARE} nomatch"),
+    ]
+    base = IndexReader(spark, idx).search_phrase(queries, k=10)
+
+    texts = DocStore(idx).texts_for(sorted(toks.keys()))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": sorted(texts), "text": [texts[d] for d in sorted(texts)]}
+        )
+    )
+    write_nextword_store(docs, idx, head_min_df=5)
+    r = IndexReader(spark, idx)
+    nw = r._nextword_store()
+    assert nw is not None and nw.covers("the", "data")
+    assert not nw.covers(RARE, "the")  # rare term is below the head floor
+    got = r.search_phrase(queries, k=10)
+    assert got == base
+    # the store's doc set is the exact adjacency set for a covered pair
+    needle = " the data "
+    want = sorted(
+        d for d, ts in toks.items() if needle in " " + " ".join(ts) + " "
+    )
+    assert list(nw.doc_ids("the", "data")) == want
+
+
+def test_phrase_nextword_chain_is_not_adjacency(spark, tmp_path):
+    """Pairwise-adjacent pairs do NOT imply a consecutive phrase: the
+    nextword restriction for 3+ token phrases must still verify. Doc 0 has
+    'alpha beta' and 'beta gamma' adjacent but never 'alpha beta gamma'."""
+    import pandas as pd
+
+    from knowledgeir_spark.index.docstore import write_docstore
+    from knowledgeir_spark.index.nextword import write_nextword_store
+
+    idx = str(tmp_path / "chain_idx")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta x beta gamma y alpha",
+                "z alpha beta gamma z",
+                "gamma beta alpha",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    cfg = IndexConfig(block_size=16, salt_range=64, n_buckets=4,
+                      tokenizer="simple")
+    build_index(spark, docs, idx, cfg, input_token="chain3")
+    write_docstore(docs, idx)
+    write_nextword_store(docs, idx, head_min_df=1)
+    r = IndexReader(spark, idx)
+    nw = r._nextword_store()
+    assert nw.covers("alpha", "beta") and nw.covers("beta", "gamma")
+    res = r.search_phrase([("1", "alpha beta gamma"), ("2", "alpha beta")], k=5)
+    assert [d for q, d, _s, _r in res if q == "1"] == [1]
+    assert sorted(d for q, d, _s, _r in res if q == "2") == [0, 1]

@@ -492,3 +492,34 @@ def test_impact_layout_through_delta_lifecycle(spark, webpages_pdf, tmp_path):
     _assert_matches_oracle(spark, idx_dir, pdf.iloc[:200])
     reader = IndexReader(spark, idx_dir)
     assert reader.block_order == "impact"
+
+
+def test_append_fold_batching_policy(spark, webpages_pdf, tmp_path):
+    """min_pending_deltas defers the fold until enough deltas accumulate
+    (round-6 freshness-throughput knob); the deferred fold then lands all
+    pending deltas in ONE pass and the result matches the from-scratch
+    oracle.  Crash-window deltas always fold regardless of the policy."""
+    idx_dir = str(tmp_path / "idx_batch")
+    pdf = webpages_pdf.reset_index().rename(columns={"index": "doc_id"})
+    docs = spark.createDataFrame(pdf.iloc[:200][["doc_id", "text"]])
+    build_index(spark, docs, idx_dir, CFG, input_token="base200b")
+
+    inp = str(tmp_path / "arr_batch")
+    schema = "doc_id long, text string"
+    for lo, hi in ((200, 230), (230, 260)):
+        spark.createDataFrame(pdf.iloc[lo:hi][["doc_id", "text"]]).write.mode(
+            "append").parquet(inp)
+        incremental_index(spark, inp, idx_dir, schema, CFG)
+        res = compact(spark, idx_dir, CFG, mode="append",
+                      min_pending_deltas=3)
+        assert res.get("deferred") is True
+    # third delta crosses the threshold -> one fold of all three
+    spark.createDataFrame(pdf.iloc[260:300][["doc_id", "text"]]).write.mode(
+        "append").parquet(inp)
+    incremental_index(spark, inp, idx_dir, schema, CFG)
+    res = compact(spark, idx_dir, CFG, mode="append", min_pending_deltas=3)
+    assert res and "deferred" not in res
+    _assert_matches_oracle(spark, idx_dir, pdf.iloc[:300])
+    # idempotent + policy no-op afterwards
+    assert compact(spark, idx_dir, CFG, mode="append",
+                   min_pending_deltas=3) == {}
