@@ -132,6 +132,13 @@ _MEASURED_RECALL: dict[int, list[tuple[int, float]]] = {
     8: [(1, 0.368), (2, 0.542), (3, 0.666), (4, 0.754), (5, 0.848),
         (6, 0.912)],
     16: [(2, 0.492), (4, 0.668), (6, 0.780), (8, 0.848)],
+    # round 6 (verdict item 4): the partition counts a bigger corpus would
+    # use — resolve_nprobe no longer full-corpus-probes for these.  On the
+    # near-uniform worst case ~half the corpus must be probed for 0.9
+    # recall; the clustered regime reaches 1.0 at nprobe/k = 1/8
+    # (BENCH/ivf_recall.json clustered_grid).
+    32: [(4, 0.688), (8, 0.782), (12, 0.874), (16, 0.918), (20, 0.948)],
+    64: [(8, 0.740), (16, 0.874), (24, 0.930), (32, 0.958), (40, 0.982)],
 }
 
 

@@ -581,6 +581,11 @@ def test_ivf_default_operating_point(spark):
 
     assert resolve_nprobe(8, 0.9) == 6
     assert resolve_nprobe(16, 0.9) == 16  # above grid ceiling -> exact
+    # round-6 grid extension: big-corpus partition counts resolve from
+    # measured points instead of the full-corpus fallback
+    assert resolve_nprobe(32, 0.9) == 16
+    assert resolve_nprobe(64, 0.9) == 24
+    assert resolve_nprobe(48, 0.9) == 48  # still-unmeasured shape -> exact
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     qs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
