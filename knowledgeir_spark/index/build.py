@@ -425,7 +425,13 @@ def build_index(
         # shuffle on 32 cores leaves half the Python encoders idle
         parts = max(int(parts), spark.sparkContext.defaultParallelism)
         salted = dt.select(
-            "doc_id", "term", "tf", "doc_len",
+            "doc_id", "term",
+            # narrower types across the exchange and the Python boundary
+            # (guide §2.3): tf / doc_len are per-doc token counts, always
+            # int32-safe; the encoder widens back to uint64 so the varint
+            # payloads are byte-identical
+            F.col("tf").cast("int").alias("tf"),
+            F.col("doc_len").cast("int").alias("doc_len"),
             (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
             term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
         )
