@@ -66,11 +66,15 @@ class IndexConfig:
         return asdict(self)
 
 
-POSTINGS_SCHEMA = (
-    "bucket int, term string, salt long, block_id int, n_docs int, "
+# what the block ENCODERS emit; `bucket` is appended afterwards from the
+# block rows (term_bucket_expr over ~1/25 the rows — hashing every long-form
+# posting cost ~16s of an 82M-row scan stage)
+ENCODER_SCHEMA = (
+    "term string, salt long, block_id int, n_docs int, "
     "first_doc_id long, max_doc_id long, max_tf int, min_doc_len int, "
     "doc_id_deltas binary, tfs binary, doc_lens binary, sum_tf long"
 )
+POSTINGS_SCHEMA = f"bucket int, {ENCODER_SCHEMA}"
 
 
 def choose_salt_range(n_docs: int, parallelism: int,
@@ -143,9 +147,7 @@ def _make_block_builder(
         self-delimiting codecs (pfor) and as the cross-test oracle for the
         vectorized varint path below."""
         rows = []
-        for (term, salt, bucket), g in pdf.groupby(
-            ["term", "salt", "bucket"], sort=False
-        ):
+        for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
             ids = g["doc_id"].to_numpy(np.int64).astype(np.uint64)
             tfs = g["tf"].to_numpy(np.int64).astype(np.uint64)
             dls = g["doc_len"].to_numpy(np.int64).astype(np.uint64)
@@ -157,7 +159,7 @@ def _make_block_builder(
                     codec=codec,
                 )
                 blk.update(
-                    term=term, salt=int(salt), bucket=int(bucket), block_id=bi,
+                    term=term, salt=int(salt), block_id=bi,
                     sum_tf=int(tfs[start : start + block_size].sum()),
                 )
                 rows.append(blk)
@@ -174,7 +176,6 @@ def _make_block_builder(
 
         terms = pdf["term"].to_numpy()
         salts = pdf["salt"].to_numpy(np.int64)
-        buckets = pdf["bucket"].to_numpy(np.int64)
         ids = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
         tfs = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
         dls = pdf["doc_len"].to_numpy(np.int64).astype(np.uint64)
@@ -195,7 +196,6 @@ def _make_block_builder(
         last = blk_ends - 1
         return pd.DataFrame(
             {
-                "bucket": buckets[blk_starts].astype(np.int32),
                 "term": terms[blk_starts],
                 "salt": salts[blk_starts],
                 "block_id": (offs[blk_starts] // block_size).astype(np.int32),
@@ -229,7 +229,7 @@ def _make_block_builder(
         return pd.DataFrame(rows)[cols] if rows else None
 
     cols = [
-        "bucket", "term", "salt", "block_id", "n_docs", "first_doc_id",
+        "term", "salt", "block_id", "n_docs", "first_doc_id",
         "max_doc_id", "max_tf", "min_doc_len", "doc_id_deltas", "tfs",
         "doc_lens", "sum_tf",
     ]
@@ -293,7 +293,6 @@ def _make_block_builder_arrow(block_size: int):
         n = tbl.num_rows
         terms = tbl["term"].combine_chunks()
         salts = tbl["salt"].to_numpy()
-        buckets = tbl["bucket"].to_numpy()
         ids = tbl["doc_id"].to_numpy().astype(np.uint64)
         tfs = tbl["tf"].to_numpy().astype(np.uint64)
         dls = tbl["doc_len"].to_numpy().astype(np.uint64)
@@ -319,7 +318,6 @@ def _make_block_builder_arrow(block_size: int):
         idx = pa.array(blk_starts)
         return pa.RecordBatch.from_arrays(
             [
-                pa.array(buckets[blk_starts].astype(np.int32)),
                 pc.take(terms, idx),
                 pa.array(salts[blk_starts].astype(np.int64)),
                 pa.array((offs[blk_starts] // block_size).astype(np.int32)),
@@ -335,7 +333,7 @@ def _make_block_builder_arrow(block_size: int):
                     tfs.astype(np.int64), blk_starts).astype(np.int64)),
             ],
             names=[
-                "bucket", "term", "salt", "block_id", "n_docs",
+                "term", "salt", "block_id", "n_docs",
                 "first_doc_id", "max_doc_id", "max_tf", "min_doc_len",
                 "doc_id_deltas", "tfs", "doc_lens", "sum_tf",
             ],
@@ -371,17 +369,23 @@ def _make_block_builder_arrow(block_size: int):
 
 
 def apply_block_encoder(sorted_df: DataFrame, config: IndexConfig) -> DataFrame:
-    """Partition rows sorted by (term, salt, doc_id) -> posting-block rows,
-    choosing the Arrow-native builder for the default varint/docid layout and
-    the pandas builder for the pfor / impact-ordered variants."""
+    """Partition rows sorted by (term, salt, doc_id) -> posting-block rows
+    (POSTINGS_SCHEMA), choosing the Arrow-native builder for the default
+    varint/docid layout and the pandas builder for the pfor /
+    impact-ordered variants.  The term-hash `bucket` is computed HERE, on
+    the ~1/25-sized block rows, not per posting."""
     if config.codec == "varint" and config.block_order == "docid":
-        return sorted_df.mapInArrow(
-            _make_block_builder_arrow(config.block_size), POSTINGS_SCHEMA
+        encoded = sorted_df.mapInArrow(
+            _make_block_builder_arrow(config.block_size), ENCODER_SCHEMA
         )
-    return sorted_df.mapInPandas(
-        _make_block_builder(config.block_size, config.codec,
-                            config.block_order),
-        POSTINGS_SCHEMA,
+    else:
+        encoded = sorted_df.mapInPandas(
+            _make_block_builder(config.block_size, config.codec,
+                                config.block_order),
+            ENCODER_SCHEMA,
+        )
+    return encoded.withColumn(
+        "bucket", term_bucket_expr(F.col("term"), config.n_buckets)
     )
 
 
@@ -433,7 +437,6 @@ def build_index(
             F.col("tf").cast("int").alias("tf"),
             F.col("doc_len").cast("int").alias("doc_len"),
             (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
-            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
         )
         (
             apply_block_encoder(

@@ -256,7 +256,6 @@ def defrag(
         salted = long_form.select(
             "doc_id", "term", "tf", "doc_len",
             (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
-            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
         )
         (
             salted.repartition(max(len(buckets), 1), "term", "salt")
@@ -454,7 +453,6 @@ def compact(
             salted = long_form.select(
                 "doc_id", "term", "tf", "doc_len",
                 (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
-                term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
             )
             (
                 salted.repartition(config.n_buckets, "term", "salt")

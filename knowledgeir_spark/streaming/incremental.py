@@ -37,7 +37,6 @@ def _delta_writer(index_root: str, config: IndexConfig):
         salted = dt.select(
             "doc_id", "term", "tf", "doc_len",
             (F.col("doc_id") / config.salt_range).cast("long").alias("salt"),
-            term_bucket_expr(F.col("term"), config.n_buckets).alias("bucket"),
         )
         (
             salted.repartition(config.n_buckets, "term", "salt")
