@@ -74,6 +74,19 @@ def doc_tf_map(text: pd.Series) -> pd.Series:
     return text.map(one)
 
 
+# byte-level tokenizer tables: token bytes kept, every other byte mapped to
+# space.  Tokens are ASCII-only by spec ([a-z0-9/]+ after lowercasing), and
+# every byte of a UTF-8 multi-byte sequence is >= 0x80, so translating at
+# the byte level after str.lower() yields exactly re.findall's token runs
+# (property-tested against the oracle tokenizer).
+_SPEC_KEEP = frozenset(b"abcdefghijklmnopqrstuvwxyz0123456789/")
+_SPEC_TABLE = bytes(b if b in _SPEC_KEEP else 0x20 for b in range(256))
+_SIMPLE_TABLE = bytes(
+    b if b in frozenset(b"abcdefghijklmnopqrstuvwxyz0123456789") else 0x20
+    for b in range(256)
+)
+
+
 def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               simple: bool = False) -> DataFrame:
     """(id, term, tf, doc_len) long-form — map-only (NO shuffle).
@@ -84,59 +97,87 @@ def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``simple=True`` switches to the symmetric simple tokenizer (no stopwords,
     [a-z0-9]+ — the SQL-parity spec).
 
-    Implementation: mapInPandas emitting flat Arrow columns; tokenization is
-    pandas .str vectorized C paths + one pandas groupby per batch — no
-    per-row Python and no MapType serde.
-    """
-    from ..oracle.tokenizer import SIMPLE_TOKEN_RE
-
+    Implementation (round-6 rewrite, guide §4.2 — no per-token Python
+    objects anywhere): mapInArrow; per batch the lowered texts are
+    byte-translated (token bytes kept, all else -> space) into ONE buffer,
+    token boundaries come from vectorized numpy run detection, the token
+    column is an Arrow string array whose offsets re-slice the compacted
+    buffer (zero string-object creation), term ids come from Arrow
+    dictionary_encode, and tf/doc_len are the same combined-key counting as
+    before.  Output columns are built as Arrow arrays directly
+    (dictionary take for the term strings)."""
     stop = frozenset() if simple else STOPWORDS
-    pattern = (SIMPLE_TOKEN_RE if simple else TOKEN_RE).pattern
+    table = _SIMPLE_TABLE if simple else _SPEC_TABLE
     out_schema = f"{id_col} long, term string, tf long, doc_len long"
 
     def tokenize_batches(batches):
-        import re as _re
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        token_re = _re.compile(pattern)
-        for pdf in batches:
-            toks = pdf[text_col].fillna("").str.lower().str.findall(token_re)
-            lens = toks.map(len).to_numpy()
-            if lens.sum() == 0:
+        stop_arr = pa.array(sorted(stop)) if stop else None
+        for batch in batches:
+            ids_in = batch.column(
+                batch.schema.get_field_index(id_col)
+            ).to_numpy(zero_copy_only=False)
+            texts = batch.column(
+                batch.schema.get_field_index(text_col)
+            ).to_pandas()
+            parts = [
+                t.lower().encode("utf-8").translate(table) if t else b""
+                for t in texts.fillna("")
+            ]
+            big = b" ".join(parts)
+            if not big.strip():
                 continue
-            doc_ids = np.repeat(pdf[id_col].to_numpy(), lens)
-            terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks if len(t)]
+            buf = np.frombuffer(big, np.uint8)
+            nonspace = buf != 0x20
+            tok_starts = np.flatnonzero(nonspace & np.r_[True, ~nonspace[:-1]])
+            tok_ends = np.flatnonzero(nonspace & np.r_[~nonspace[1:], True]) + 1
+            # doc i owns byte range [doc_off[i], doc_off[i+1])
+            doc_off = np.zeros(len(parts) + 1, dtype=np.int64)
+            np.cumsum(
+                np.fromiter((len(p) + 1 for p in parts), np.int64, len(parts)),
+                out=doc_off[1:],
             )
-            # factorize once (each string hashed once), then count on int
-            # codes — far less memory traffic than a string groupby
-            codes, uniques = pd.factorize(terms, sort=False)
-            if stop:
-                stop_code = np.isin(np.asarray(uniques, dtype=object), list(stop))
-                keep = ~stop_code[codes]
-                doc_ids, codes = doc_ids[keep], codes[keep]
+            doc_idx = np.searchsorted(doc_off, tok_starts, side="right") - 1
+            # Arrow string array over the COMPACTED token bytes: offsets =
+            # cumulative token lengths, values = all non-space bytes (token
+            # bytes are contiguous and in order) — no per-token objects
+            offsets = np.zeros(len(tok_starts) + 1, dtype=np.int32)
+            np.cumsum(tok_ends - tok_starts, out=offsets[1:])
+            tok_arr = pa.Array.from_buffers(
+                pa.utf8(), len(tok_starts),
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(buf[nonspace].tobytes())],
+            )
+            enc = pc.dictionary_encode(tok_arr)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniques = enc.dictionary
+            if stop_arr is not None:
+                stop_mask = pc.is_in(
+                    uniques, value_set=stop_arr
+                ).to_numpy(zero_copy_only=False)
+                keep = ~stop_mask[codes]
+                doc_idx, codes = doc_idx[keep], codes[keep]
                 if not len(codes):
                     continue
-            # combined (doc, code) key: doc ids within a batch span a small
-            # range, so (doc_idx * n_uniques + code) fits int64 comfortably
-            d_codes, d_uniques = pd.factorize(doc_ids, sort=False)
             n_u = len(uniques)
-            key = d_codes.astype(np.int64) * n_u + codes
+            key = doc_idx * n_u + codes
             uk, counts = np.unique(key, return_counts=True)
-            out_doc = d_uniques[(uk // n_u).astype(np.int64)]
-            out_term = np.asarray(uniques, dtype=object)[(uk % n_u).astype(np.int64)]
-            dl_per_doc = np.zeros(len(d_uniques), dtype=np.int64)
-            np.add.at(dl_per_doc, (uk // n_u).astype(np.int64), counts)
-            out_dl = dl_per_doc[(uk // n_u).astype(np.int64)]
-            yield pd.DataFrame(
-                {
-                    id_col: out_doc,
-                    "term": out_term,
-                    "tf": counts.astype(np.int64),
-                    "doc_len": out_dl,
-                }
+            out_d = (uk // n_u).astype(np.int64)
+            dl_per_doc = np.zeros(len(parts), dtype=np.int64)
+            np.add.at(dl_per_doc, out_d, counts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_in[out_d].astype(np.int64)),
+                    pc.take(uniques, pa.array((uk % n_u).astype(np.int64))),
+                    pa.array(counts.astype(np.int64)),
+                    pa.array(dl_per_doc[out_d]),
+                ],
+                names=[id_col, "term", "tf", "doc_len"],
             )
 
-    return df.select(id_col, text_col).mapInPandas(tokenize_batches, out_schema)
+    return df.select(id_col, text_col).mapInArrow(tokenize_batches, out_schema)
 
 
 def doc_terms_builtin(
