@@ -86,20 +86,28 @@ def main() -> int:
                 f"schema {sorted(spdf.columns)} != {sorted(opdf.columns)}"
             )
         if not problems:
-            s, o = _normalize(spdf), _normalize(opdf)
-            for c in s.columns:
-                ks, ko = _kind(s[c].dtype), _kind(o[c].dtype)
-                if ks != ko:
-                    # decimal/object vs int is exactly the driver's HUGEINT
-                    # failure mode
-                    problems.append(f"dtype[{c}] {s[c].dtype} != {o[c].dtype}")
-            if not problems:
-                try:
+            # normalize/compare inside the same guard as query execution: a
+            # pandas comparison error on one pathological query must record
+            # a FAIL for that query, not abort the whole gate (round-5
+            # ADVICE item)
+            try:
+                s, o = _normalize(spdf), _normalize(opdf)
+                for c in s.columns:
+                    ks, ko = _kind(s[c].dtype), _kind(o[c].dtype)
+                    if ks != ko:
+                        # decimal/object vs int is exactly the driver's
+                        # HUGEINT failure mode
+                        problems.append(
+                            f"dtype[{c}] {s[c].dtype} != {o[c].dtype}"
+                        )
+                if not problems:
                     pd.testing.assert_frame_equal(
                         s, o, check_dtype=False, check_exact=True
                     )
-                except AssertionError as ex:
-                    problems.append(f"values: {str(ex).splitlines()[-1]}")
+            except AssertionError as ex:
+                problems.append(f"values: {str(ex).splitlines()[-1]}")
+            except Exception as ex:  # noqa: BLE001
+                problems.append(f"compare: {type(ex).__name__}: {ex}")
         status = "OK " if not problems else "FAIL"
         if problems:
             n_fail += 1
